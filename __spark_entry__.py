@@ -1,38 +1,57 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship spatial pipeline at sf0.001;
+``queries()``/``oracle_sql()`` expose every implemented operator for the
+driver's DuckDB hash-compare at sf0.01. Implementation lives in
+:mod:`ferrobus_spark.registry`.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: H3-style tile assignment + PIP join + per-cell rollup.
+
+    Pages (Common-Crawl-shaped, deterministic geo) → hex cell at res 9 →
+    keep pages inside the city-core polygon → per-cell page count +
+    distinct-domain count. Exercises scan → codegen cell encode → spatial
+    filter → skewed agg, the north-rule headline path.
+    """
+    from pyspark.sql import functions as F
+
+    from ferrobus_spark.registry import CELL_SQL, LAT_SQL, LON_SQL, PIP_POLY, convex_pip_sql
+    from ferrobus_spark.sources.pages import pages_table
+
+    pages = pages_table(spark, SF_SMOKE)
+    return (
+        pages.withColumn("cell", F.expr(CELL_SQL))
+        .filter(F.expr(convex_pip_sql(LON_SQL, LAT_SQL, PIP_POLY)))
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.countDistinct("domain").alias("n_domains"),
+        )
+        .orderBy(F.desc("n_pages"), "cell")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from ferrobus_spark.registry import queries as _queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ferrobus_spark.registry import oracle_sql as _oracle_sql
+
+    return _oracle_sql()

@@ -1,0 +1,87 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Each query is forced end-to-end with the noop sink (full compute, no
+output cost). Throughput rows/s for the headline tile-assignment path is
+also reported (the north-rule metric), plus input row counts so runs at
+different scale factors are comparable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# headline set: the north-rule spatial path + skewed agg + dedup + kNN
+HEADLINE = [
+    "tile_assign",
+    "tile_histogram",
+    "pip_convex",
+    "knn_nearest_stop",
+    "dedup_exact",
+    "text_passthrough_hash",
+]
+
+
+def force(df) -> int:
+    """Force full computation; return row count via a cheap count agg."""
+    df.write.mode("overwrite").format("noop").save()
+    return -1
+
+
+def main() -> None:
+    from ferrobus_spark.registry import queries
+    from ferrobus_spark.session import get_spark
+
+    spark = get_spark("ferrobus-bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=int(CPUS))
+    qmap = queries()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+
+    # warm the JVM + Arrow path once (session startup excluded from timings)
+    qmap["tile_assign"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+
+    # min of 2 runs per query: first runs pay JVM/codegen warmup that a
+    # long-lived cluster job would amortize away
+    per_query: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qmap:
+            continue
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(qmap[name](spark, SF_DIR))
+            best = min(best, time.perf_counter() - t0)
+        per_query[name] = round(best, 4)
+
+    total = round(sum(per_query.values()), 4)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "rows_documents": n_docs,
+        "tile_assign_rows_per_sec": (
+            round(n_docs / per_query["tile_assign"], 1)
+            if per_query.get("tile_assign")
+            else None
+        ),
+        "cpus": int(CPUS),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

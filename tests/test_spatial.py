@@ -1,0 +1,123 @@
+"""Spark spatial operators vs pure-NumPy oracle (exact match)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ferrobus_spark import hexgrid as hg
+from ferrobus_spark.functions.geo import lonlat_numpy
+from ferrobus_spark.operators.spatial import assign_cells, knn_join, pip_join
+from ferrobus_spark.sources.pages import pages_table
+
+RES = 9
+
+
+@pytest.fixture(scope="module")
+def pages(spark, sf_dir):
+    df = pages_table(spark, sf_dir)
+    df.cache().count()
+    return df
+
+
+def test_pages_schema_and_determinism(pages):
+    cols = dict(pages.dtypes)
+    assert cols["url"] == "string"
+    assert cols["warc_ts"] == "timestamp"
+    assert cols["html"] == "binary"
+    assert cols["text"] == "string"
+    assert cols["lang"] == "string"
+    pdf = pages.select("doc_id", "lon", "lat").toPandas().sort_values("doc_id")
+    lon, lat = lonlat_numpy(pdf["doc_id"].to_numpy())
+    assert np.array_equal(pdf["lon"].to_numpy(), lon)
+    assert np.array_equal(pdf["lat"].to_numpy(), lat)
+
+
+def test_assign_cells_matches_numpy(pages):
+    pdf = (
+        assign_cells(pages, "lon", "lat", RES)
+        .select("doc_id", "lon", "lat", "cell")
+        .toPandas()
+    )
+    expected = hg.latlng_to_cell(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), RES)
+    assert np.array_equal(pdf["cell"].to_numpy(), expected)
+
+
+def test_skew_exists(pages):
+    counts = (
+        assign_cells(pages, "lon", "lat", RES)
+        .groupBy("cell")
+        .count()
+        .orderBy(F.desc("count"))
+        .toPandas()
+    )
+    # the hot downtown cluster concentrates ~6/16 of pages into few cells
+    assert counts["count"].iloc[0] > counts["count"].median() * 5
+
+
+def test_pip_join_matches_bruteforce(spark, pages):
+    polys = [
+        (1, np.array([[-122.46, 37.74], [-122.41, 37.74], [-122.41, 37.785], [-122.46, 37.785]])),
+        (2, np.array([[-122.50, 37.70], [-122.44, 37.70], [-122.47, 37.76]])),  # triangle
+    ]
+    got = (
+        pip_join(spark, pages.select("doc_id", "lon", "lat"), polys, res=10)
+        .select("doc_id", "poly_id")
+        .toPandas()
+        .sort_values(["doc_id", "poly_id"])
+        .reset_index(drop=True)
+    )
+    pdf = pages.select("doc_id", "lon", "lat").toPandas()
+    rows = []
+    for pid, ring in polys:
+        mask = hg.point_in_polygon(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), ring)
+        rows += [(d, pid) for d in pdf.loc[mask, "doc_id"]]
+    exp = pd.DataFrame(rows, columns=["doc_id", "poly_id"]).sort_values(
+        ["doc_id", "poly_id"]
+    ).reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64", "poly_id": "int64"}),
+        exp.astype({"doc_id": "int64", "poly_id": "int64"}),
+    )
+
+
+def test_knn_join_matches_bruteforce(spark, pages):
+    # targets: 40 deterministic "stops" in the city extent
+    tid = np.arange(40)
+    tlon = -122.50 + (tid * 7 % 40) * 0.0025
+    tlat = 37.70 + (tid * 11 % 40) * 0.0025
+    targets = spark.createDataFrame(
+        pd.DataFrame({"target_id": tid, "lon": tlon, "lat": tlat})
+    )
+    pts = pages.select(F.col("doc_id").alias("point_id"), "lon", "lat").limit(200)
+    # res 6 cells have inradius 1/64*sqrt(3)/2 deg ≈ 0.0135 deg; ring=2
+    # guarantees correctness for neighbors within ~2.7 km
+    got = (
+        knn_join(pts, targets, k=3, res=6, ring=2)
+        .toPandas()
+        .sort_values(["point_id", "knn_rank"])
+        .reset_index(drop=True)
+    )
+    pdf = pts.toPandas()
+    rows = []
+    for _, p in pdf.iterrows():
+        d = hg.haversine_m(p["lon"], p["lat"], tlon, tlat)
+        order = np.lexsort((tid, d))[:3]
+        for rank, j in enumerate(order, 1):
+            rows.append((p["point_id"], tid[j], d[j], rank))
+    exp = (
+        pd.DataFrame(rows, columns=["point_id", "target_id", "dist_m", "knn_rank"])
+        .sort_values(["point_id", "knn_rank"])
+        .reset_index(drop=True)
+    )
+    # ring may exclude far candidates for edge points; require exact match on
+    # the pairs the oracle says are within the guaranteed radius
+    merged = exp.merge(
+        got, on=["point_id", "knn_rank"], suffixes=("_exp", "_got"), how="left"
+    )
+    guaranteed = merged["dist_m_exp"] < 2500.0
+    sub = merged[guaranteed]
+    assert len(sub) > 100
+    assert (sub["target_id_exp"] == sub["target_id_got"]).all()
+    assert np.allclose(sub["dist_m_exp"], sub["dist_m_got"])
