@@ -29,13 +29,13 @@ def entry(spark: SparkSession) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    from ferrobus_spark.registry import CELL_SQL, LAT_SQL, LON_SQL, PIP_POLY, convex_pip_sql
+    from ferrobus_spark.registry import CELL_REF_SQL, PIP_POLY, convex_pip_sql
     from ferrobus_spark.sources.pages import pages_table
 
-    pages = pages_table(spark, SF_SMOKE)
+    pages = pages_table(spark, SF_SMOKE)  # lon/lat are materialized columns
     return (
-        pages.withColumn("cell", F.expr(CELL_SQL))
-        .filter(F.expr(convex_pip_sql(LON_SQL, LAT_SQL, PIP_POLY)))
+        pages.withColumn("cell", F.expr(CELL_REF_SQL))
+        .filter(F.expr(convex_pip_sql("lon", "lat", PIP_POLY)))
         .groupBy("cell")
         .agg(
             F.count("*").alias("n_pages"),

@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-# headline set: the north-rule spatial path + skewed agg + dedup + kNN
+# headline set: the north-rule spatial path + skewed agg + dedup/text/ANN
 HEADLINE = [
     "tile_assign",
     "tile_histogram",
@@ -29,6 +29,11 @@ HEADLINE = [
     "knn_nearest_stop",
     "dedup_exact",
     "text_passthrough_hash",
+    "minhash_dup_pairs",
+    "knn_embeddings_bruteforce",
+    "token_stats",
+    "pricing_summary",
+    "events_sessionize",
 ]
 
 

@@ -1,0 +1,137 @@
+"""Text-analysis column functions for corpus curation.
+
+All hot-path functions are pure Column expressions (whole-stage
+codegen); the ones needing loops (fingerprint, language ID) are
+Arrow-batched pandas UDFs. Where a DuckDB-parity SQL twin exists it is
+emitted from the same definition (registry uses those for the
+correctness gate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# token counting — whitespace words + a BPE-ish subword regex
+# ---------------------------------------------------------------------------
+
+WORD_RE = "[^ \\t\\n\\r]+"
+# BPE-ish: runs of letters, runs of digits, or single non-alnum non-space
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
+
+def n_words_col(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(WORD_RE), F.lit(0)))
+
+
+def n_bpe_tokens_col(text: str | Column) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_RE), F.lit(0)))
+
+
+def token_stats_sql(text_expr: str) -> dict[str, str]:
+    """DuckDB twins of the token counters (regexp_extract_all + len)."""
+    return {
+        "n_words": f"len(regexp_extract_all({text_expr}, '{WORD_RE}'))",
+        "n_bpe_tokens": f"len(regexp_extract_all({text_expr}, '{BPE_RE}'))",
+    }
+
+
+# ---------------------------------------------------------------------------
+# quality scoring — length / punctuation / digit / stopword ratios
+# ---------------------------------------------------------------------------
+
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "was", "at", "by", "be",
+]
+
+
+def quality_cols(text: str | Column) -> dict[str, Column]:
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c)
+    n_alpha = F.length(F.regexp_replace(c, "[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(c, "[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(c, "[^.,;:!?'\"()\\[\\]-]", ""))
+    words = F.regexp_extract_all(F.lower(c), F.lit("[a-z]+"), F.lit(0))
+    n_stop = F.size(F.filter(words, lambda w: w.isin(STOPWORDS)))
+    nz = F.greatest(n_chars, F.lit(1)).cast("double")
+    nw = F.greatest(F.size(words), F.lit(1)).cast("double")
+    return {
+        "n_chars": n_chars.cast("long"),
+        "alpha_ratio": n_alpha / nz,
+        "digit_ratio": n_digit / nz,
+        "punct_ratio": n_punct / nz,
+        "stopword_ratio": n_stop / nw,
+        "mean_word_len": n_alpha.cast("double") / nw,
+    }
+
+
+def quality_score_col(text: str | Column) -> Column:
+    """Composite [0,1] quality heuristic (monotone in good signals)."""
+    q = quality_cols(text)
+    score = (
+        F.least(q["n_chars"].cast("double") / 200.0, F.lit(1.0)) * 0.3
+        + F.least(q["alpha_ratio"] / 0.7, F.lit(1.0)) * 0.3
+        + F.least(q["stopword_ratio"] / 0.3, F.lit(1.0)) * 0.3
+        + (1.0 - F.least(q["digit_ratio"] * 4.0, F.lit(1.0))) * 0.1
+    )
+    return score
+
+
+# ---------------------------------------------------------------------------
+# language ID — n-gram/stopword heuristic (vectorized pandas UDF)
+# ---------------------------------------------------------------------------
+
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " is ", " that "],
+    "de": [" der ", " die ", " und ", " ist ", " das ", " nicht "],
+    "fr": [" le ", " la ", " et ", " les ", " des ", " est "],
+    "es": [" el ", " la ", " de ", " que ", " los ", " es "],
+    "it": [" il ", " di ", " che ", " la ", " per ", " con "],
+    "pt": [" o ", " de ", " que ", " em ", " um ", " para "],
+}
+
+
+@F.pandas_udf(T.StringType())
+def lang_id_udf(text: pd.Series) -> pd.Series:
+    padded = (" " + text.fillna("").str.lower().str.replace(r"\s+", " ", regex=True) + " ")
+    scores = pd.DataFrame(index=padded.index)
+    for lang, markers in LANG_MARKERS.items():
+        s = None
+        for m in markers:
+            c = padded.str.count(m.replace("(", "\\(") if "(" in m else m)
+            s = c if s is None else s + c
+        scores[lang] = s
+    best = scores.idxmax(axis=1)
+    return best.where(scores.max(axis=1) > 0, "und")
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint — rolling-hash winnowing
+# ---------------------------------------------------------------------------
+
+@F.pandas_udf(T.LongType())
+def fingerprint_udf(text: pd.Series) -> pd.Series:
+    """64-bit document fingerprint: min-sampled Karp-Rabin over 8-grams
+    (winnowing-lite: XOR of the 4 smallest window hashes)."""
+    out = np.zeros(len(text), np.int64)
+    base = np.uint64(1099511628211)
+    for i, t in enumerate(text.fillna("")):
+        data = (t.encode("utf-8", "ignore") + b"\x00" * 8)[: max(len(t), 8)]
+        arr = np.frombuffer(data, np.uint8).astype(np.uint64)
+        n = len(arr)
+        h = np.zeros(n - 7, np.uint64)
+        for j in range(8):
+            h = h * base + arr[j : n - 7 + j]
+        smallest = np.sort(h)[:4]
+        v = np.uint64(0)
+        for s in smallest:
+            v ^= s * np.uint64(0x9E3779B97F4A7C15)
+        out[i] = np.int64(v.astype(np.int64))
+    return pd.Series(out)

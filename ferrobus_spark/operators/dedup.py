@@ -1,0 +1,206 @@
+"""Deduplication operators for web-scale corpus curation.
+
+Beyond exact hash dedup (registry ``dedup_exact``), the near-dup family
+a 100 TB training-data pipeline needs:
+
+* :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — shingle →
+  MinHash → banded LSH bucket join → candidate pairs with estimated
+  Jaccard. All hashing is vectorized NumPy inside Arrow-batched UDFs;
+  the bucket join is a plain shuffle join on (band, bucket-hash), so
+  Spark scales it horizontally and AQE splits hot buckets.
+* :func:`simhash_col` / :func:`simhash_near_pairs` — 64-bit SimHash,
+  near-dup = Hamming ≤ k via 4×16-bit chunk banding (pigeonhole: any
+  pair within Hamming 3 shares at least one identical chunk).
+* :func:`ngram_jaccard_pairs` — exact shingle-set Jaccard verification
+  of candidate pairs (the refine step after LSH's filter).
+
+Determinism: all hash functions are explicit polynomial/multiplicative
+hashes (no Python ``hash``), so results are stable across runs,
+partitions, and Python versions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MERSENNE = (1 << 61) - 1
+_A = 0x9E3779B97F4A7C15
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct k-char-shingle hashes (uint64) via polynomial rolling hash."""
+    data = text.encode("utf-8", "ignore")
+    n = len(data)
+    if n < k:
+        data = data + b"\x00" * (k - n)
+        n = len(data)
+    arr = np.frombuffer(data, np.uint8).astype(np.uint64)
+    base = np.uint64(1099511628211)
+    h = np.zeros(n - k + 1, np.uint64)
+    # vectorized Horner over the k window positions
+    for i in range(k):
+        h = h * base + arr[i : n - k + 1 + i]
+    return np.unique(h)
+
+
+def _minhash(shingles: np.ndarray, n_hashes: int) -> np.ndarray:
+    """n permutations via (a*x + b) mod p universal hashing."""
+    rng = np.random.default_rng(20240501)  # fixed seed: signatures are stable
+    a = rng.integers(1, MERSENNE, n_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, MERSENNE, n_hashes, dtype=np.int64).astype(np.uint64)
+    x = shingles % np.uint64(MERSENNE)
+    # (n_hashes, n_shingles) without overflow: use python-int matmul? stay u64
+    vals = (np.outer(a, x) + b[:, None]) % np.uint64(MERSENNE)
+    return vals.min(axis=1)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n_hashes: int = 64, shingle: int = 5,
+) -> DataFrame:
+    """(id, signature array<long>) — Arrow-batched, no per-row Python."""
+    sig_t = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("signature", T.ArrayType(T.LongType())),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, sigs = [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                sh = _shingle_hashes(txt or "", shingle)
+                sigs.append(_minhash(sh, n_hashes).astype(np.int64).tolist())
+                ids.append(int(i))
+            yield pd.DataFrame({"id": ids, "signature": sigs})
+
+    return df.select(id_col, text_col).mapInPandas(kernel, sig_t)
+
+
+def minhash_lsh_pairs(
+    sigs: DataFrame, n_bands: int = 16, threshold: float = 0.5
+) -> DataFrame:
+    """Banded LSH join → (id_a, id_b, est_jaccard ≥ threshold).
+
+    Bands become rows (explode), candidates meet via an equi-join on
+    (band, band-hash) — a pure shuffle join Spark parallelizes freely.
+    est_jaccard = fraction of agreeing signature positions.
+    """
+    n_hashes = len(sigs.select("signature").first()["signature"])
+    rows_per_band = n_hashes // n_bands
+    bands = sigs.select(
+        "id",
+        "signature",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.hash(F.slice("signature", b * rows_per_band + 1, rows_per_band)),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = bands.select(
+        F.col("id").alias("id_a"), F.col("signature").alias("sig_a"), "band", "bucket"
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"), F.col("signature").alias("sig_b"), "band", "bucket"
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.withColumn("est_jaccard", agree / F.lit(float(n_hashes)))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash_col(df: DataFrame, id_col="doc_id", text_col="text", shingle: int = 4) -> DataFrame:
+    """(id, simhash long) — 64-bit SimHash over shingle hashes."""
+    out_t = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("simhash", T.LongType()),
+    ])
+
+    def kernel(batches):
+        bit_idx = np.arange(64, dtype=np.uint64)
+        for pdf in batches:
+            ids, hs = [], []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                sh = _shingle_hashes(txt or "", shingle)
+                # spread each shingle hash to 64 bits via multiply-xor mix
+                mixed = sh[:, None] * np.uint64(_A) >> bit_idx[None, :]
+                votes = (mixed & np.uint64(1)).astype(np.int64)
+                bits = (votes.sum(axis=0) * 2 > len(sh)).astype(np.uint64)
+                val = np.uint64(0)
+                for bi in range(64):
+                    val |= bits[bi] << np.uint64(bi)
+                ids.append(int(i))
+                hs.append(int(val.astype(np.int64)))
+            yield pd.DataFrame({"id": ids, "simhash": hs})
+
+    return df.select(id_col, text_col).mapInPandas(kernel, out_t)
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(id_a, id_b, hamming ≤ max_hamming) via 4×16-bit chunk banding."""
+    chunks = sim.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)
+            ])
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), "chunk_idx", "chunk")
+    b = chunks.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), "chunk_idx", "chunk")
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .distinct()
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, pairs: DataFrame, id_col="doc_id", text_col="text", shingle: int = 5
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (the refine step)."""
+    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    joined = (
+        pairs.join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), "id_a")
+        .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("t", "t_b"), "id_b")
+    )
+    out_t = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("jaccard", T.DoubleType()),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for ia, ib, ta, tb in zip(pdf["id_a"], pdf["id_b"], pdf["t_a"], pdf["t_b"]):
+                sa = _shingle_hashes(ta or "", shingle)
+                sb = _shingle_hashes(tb or "", shingle)
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                union = len(sa) + len(sb) - inter
+                rows.append((int(ia), int(ib), inter / union if union else 1.0))
+            yield pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+
+    return joined.select("id_a", "id_b", "t_a", "t_b").mapInPandas(kernel, out_t)

@@ -1,0 +1,174 @@
+"""Similarity search over embedding columns (array<float>).
+
+* :func:`brute_force_topk` — exact cosine top-k: corpus broadcast as a
+  row-normalized NumPy matrix, queries stream through ``mapInPandas``
+  doing one BLAS matmul per Arrow batch. The baseline and the verifier
+  for the approximate paths.
+* :func:`lsh_topk` — random-hyperplane LSH: sign-bit signatures →
+  multi-probe bucket join → exact re-rank inside buckets. The scale
+  path when the corpus no longer broadcasts (both sides stay
+  distributed; the join is an equi-join on (table, bucket)).
+* :func:`cosine_neardup_pairs` — embedding near-duplicate detection
+  (cosine ≥ threshold) via the same LSH candidates.
+
+Deterministic: hyperplanes come from a fixed-seed generator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TOPK_SCHEMA = T.StructType([
+    T.StructField("query_id", T.LongType()),
+    T.StructField("neighbor_id", T.LongType()),
+    T.StructField("cosine", T.DoubleType()),
+    T.StructField("rank", T.IntegerType()),
+])
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def brute_force_topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k; corpus must fit in a broadcast (~GBs)."""
+    cp = corpus.select(id_col, vec_col).toPandas()
+    ids = cp[id_col].to_numpy(np.int64)
+    mat = _normalize(np.stack(cp[vec_col].to_numpy()).astype(np.float64))
+    bc = spark.sparkContext.broadcast((ids, mat))
+
+    def kernel(batches):
+        cids, cmat = bc.value
+        for pdf in batches:
+            q = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            qids = pdf[id_col].to_numpy(np.int64)
+            scores = q @ cmat.T  # (nq, nc)
+            rows = []
+            for i, qid in enumerate(qids):
+                s = scores[i]
+                order = np.lexsort((cids, -s))
+                rank = 0
+                for j in order:
+                    if exclude_self and cids[j] == qid:
+                        continue
+                    rank += 1
+                    rows.append((int(qid), int(cids[j]), float(s[j]), rank))
+                    if rank >= k:
+                        break
+            yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine", "rank"])
+
+    return queries.select(id_col, vec_col).mapInPandas(kernel, TOPK_SCHEMA)
+
+
+def _hyperplanes(dim: int, n_bits: int) -> np.ndarray:
+    rng = np.random.default_rng(20240502)
+    return rng.standard_normal((n_bits, dim))
+
+
+def _sign_buckets(df: DataFrame, planes: np.ndarray, id_col: str, vec_col: str,
+                  n_tables: int, bits_per_table: int, spark: SparkSession) -> DataFrame:
+    bc = spark.sparkContext.broadcast(planes)
+    out_t = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("vec", T.ArrayType(T.DoubleType())),
+        T.StructField("table", T.IntegerType()),
+        T.StructField("bucket", T.LongType()),
+    ])
+
+    def kernel(batches):
+        pl = bc.value
+        for pdf in batches:
+            mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+            ids = pdf[id_col].to_numpy(np.int64)
+            signs = (mat @ pl.T) >= 0  # (n, n_bits)
+            rows = {"id": [], "vec": [], "table": [], "bucket": []}
+            pw = (1 << np.arange(bits_per_table, dtype=np.int64))
+            for t in range(n_tables):
+                chunk = signs[:, t * bits_per_table : (t + 1) * bits_per_table]
+                buckets = (chunk.astype(np.int64) * pw).sum(axis=1)
+                rows["id"] += ids.tolist()
+                rows["vec"] += [v.tolist() for v in mat]
+                rows["table"] += [t] * len(ids)
+                rows["bucket"] += buckets.tolist()
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, vec_col).mapInPandas(kernel, out_t)
+
+
+def lsh_topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    bits_per_table: int = 8,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane bucket join."""
+    dim = len(corpus.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_tables * bits_per_table)
+    qb = _sign_buckets(queries, planes, id_col, vec_col, n_tables, bits_per_table, spark)
+    cb = _sign_buckets(corpus, planes, id_col, vec_col, n_tables, bits_per_table, spark)
+    dot = F.aggregate(
+        F.zip_with("qvec", "cvec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        qb.select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "table", "bucket")
+        .join(
+            cb.select(F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec"), "table", "bucket"),
+            ["table", "bucket"],
+        )
+        .select("query_id", "neighbor_id", "qvec", "cvec")
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    cand = cand.distinct().withColumn("cosine", dot).drop("qvec", "cvec")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def cosine_neardup_pairs(
+    spark: SparkSession,
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    bits_per_table: int = 8,
+) -> DataFrame:
+    """(id_a < id_b, cosine ≥ threshold) near-duplicate embedding pairs."""
+    res = lsh_topk(
+        spark, df, df, k=50, id_col=id_col, vec_col=vec_col,
+        n_tables=n_tables, bits_per_table=bits_per_table,
+    )
+    return (
+        res.filter((F.col("cosine") >= threshold) & (F.col("query_id") < F.col("neighbor_id")))
+        .select(
+            F.col("query_id").alias("id_a"),
+            F.col("neighbor_id").alias("id_b"),
+            "cosine",
+        )
+        .distinct()
+    )

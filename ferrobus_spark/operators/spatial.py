@@ -125,8 +125,7 @@ def pip_join(
                 yield out.drop(columns=[cell_col])
 
     refined = cand.mapInPandas(refine, schema=out_schema)
-    result = hit_interior.drop(cell_col).unionByName(refined)
-    return result if cell else result
+    return hit_interior.drop(cell_col).unionByName(refined)
 
 
 def knn_join(

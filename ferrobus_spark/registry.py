@@ -54,6 +54,22 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 LON_SQL, LAT_SQL = lonlat_sql("doc_id")
 CELL_SQL = hexgrid.cell_sql(LON_SQL, LAT_SQL, TILE_RES)
 
+# Two-step form: lon/lat materialized as named columns FIRST, then the
+# hex encode over column refs. Textually inlining LON_SQL/LAT_SQL into
+# cell_sql blows the fused Project+HashAggregate past the JVM 64KB
+# codegen method limit and Spark silently falls back to interpreted
+# eval (~7x slower, GC-bound). Both engines evaluate the identical
+# op sequence either way, so oracle parity is unaffected.
+CELL_REF_SQL = hexgrid.cell_sql("lon", "lat", TILE_RES)
+GEO_DOCS_SQL = f"(SELECT doc_id, {LON_SQL} AS lon, {LAT_SQL} AS lat FROM documents)"
+
+
+def _docs_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + materialized lon/lat columns (two-step codegen form)."""
+    return _docs(spark, sf_dir).selectExpr(
+        "*", f"{LON_SQL} AS lon", f"{LAT_SQL} AS lat"
+    )
+
 # convex test polygon over the synthetic city (CCW) — PIP as half-plane
 # conjunction is exact in both engines.
 PIP_POLY = [
@@ -84,26 +100,28 @@ def convex_pip_sql(lon: str, lat: str, poly) -> str:
 
 @register(
     "tile_assign",
-    f"SELECT doc_id, {CELL_SQL} AS cell FROM documents",
+    f"SELECT doc_id, {CELL_REF_SQL} AS cell FROM {GEO_DOCS_SQL}",
 )
 def q_tile_assign(spark, sf_dir):
     """H3-style tile assignment of every page (SURVEY.md §7 step 2)."""
-    return _docs(spark, sf_dir).select("doc_id", F.expr(CELL_SQL).alias("cell"))
+    return _docs_geo(spark, sf_dir).select(
+        "doc_id", F.expr(CELL_REF_SQL).alias("cell")
+    )
 
 
 @register(
     "tile_histogram",
     f"""
     SELECT cell, COUNT(*) AS n_docs
-    FROM (SELECT {CELL_SQL} AS cell FROM documents)
+    FROM (SELECT {CELL_REF_SQL} AS cell FROM {GEO_DOCS_SQL})
     GROUP BY cell
     """,
 )
 def q_tile_histogram(spark, sf_dir):
     """Per-cell page counts over hot-cell-skewed keys (AQE skew agg)."""
     return (
-        _docs(spark, sf_dir)
-        .select(F.expr(CELL_SQL).alias("cell"))
+        _docs_geo(spark, sf_dir)
+        .select(F.expr(CELL_REF_SQL).alias("cell"))
         .groupBy("cell")
         .agg(F.count("*").alias("n_docs"))
     )
@@ -112,17 +130,17 @@ def q_tile_histogram(spark, sf_dir):
 @register(
     "pip_convex",
     f"""
-    SELECT doc_id, {CELL_SQL} AS cell
-    FROM documents
-    WHERE {convex_pip_sql(LON_SQL, LAT_SQL, PIP_POLY)}
+    SELECT doc_id, {CELL_REF_SQL} AS cell
+    FROM {GEO_DOCS_SQL}
+    WHERE {convex_pip_sql("lon", "lat", PIP_POLY)}
     """,
 )
 def q_pip_convex(spark, sf_dir):
     """Point-in-polygon join against the city core polygon (J10)."""
     return (
-        _docs(spark, sf_dir)
-        .filter(F.expr(convex_pip_sql(LON_SQL, LAT_SQL, PIP_POLY)))
-        .select("doc_id", F.expr(CELL_SQL).alias("cell"))
+        _docs_geo(spark, sf_dir)
+        .filter(F.expr(convex_pip_sql("lon", "lat", PIP_POLY)))
+        .select("doc_id", F.expr(CELL_REF_SQL).alias("cell"))
     )
 
 
@@ -141,7 +159,7 @@ STOPS = [
 _STOPS_VALUES = ", ".join(
     f"({sid}, {hexgrid.dlit(slon)}, {hexgrid.dlit(slat)})" for sid, slon, slat in STOPS
 )
-_KNN_DIST = haversine_sql(LON_SQL, LAT_SQL, "s.slon", "s.slat")
+_KNN_DIST = haversine_sql("lon", "lat", "slon", "slat")
 
 
 @register(
@@ -152,7 +170,7 @@ _KNN_DIST = haversine_sql(LON_SQL, LAT_SQL, "s.slon", "s.slat")
              ROW_NUMBER() OVER (
                PARTITION BY d.doc_id ORDER BY {_KNN_DIST}, s.stop_id
              ) AS rn
-      FROM documents d
+      FROM {GEO_DOCS_SQL} d
       CROSS JOIN (SELECT * FROM (VALUES {_STOPS_VALUES}) AS v(stop_id, slon, slat)) s
     ) WHERE rn = 1
     """,
@@ -163,17 +181,16 @@ def q_knn_nearest_stop(spark, sf_dir):
     Small dimension side → broadcast cross join + window; this is the
     exact baseline the k-ring candidate join is validated against.
     """
-    docs = _docs(spark, sf_dir)
+    docs = _docs_geo(spark, sf_dir)
     stops = spark.createDataFrame(STOPS, "stop_id INT, slon DOUBLE, slat DOUBLE")
-    dist = F.expr(_KNN_DIST)
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy(F.expr(_KNN_DIST), "stop_id")
     return (
-        docs.crossJoin(F.broadcast(stops.alias("s")))
+        docs.crossJoin(F.broadcast(stops))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("doc_id", "stop_id", dist.alias("dist_m"))
+        .select("doc_id", "stop_id", F.expr(_KNN_DIST).alias("dist_m"))
     )
 
 
@@ -235,8 +252,12 @@ def q_text_passthrough_hash(spark, sf_dir):
 
 
 def queries() -> dict[str, QueryFn]:
+    import ferrobus_spark.registry_ext  # noqa: F401  (registers more queries)
+
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    import ferrobus_spark.registry_ext  # noqa: F401
+
     return dict(ORACLES)

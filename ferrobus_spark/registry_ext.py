@@ -1,0 +1,393 @@
+"""Registry extension: text analysis, dedup, similarity, relational, transit.
+
+Imported by :mod:`ferrobus_spark.registry` at the bottom; registers
+additional queries() / oracle_sql() entries.
+
+Float-determinism policy for oracle-checked queries: no cross-row
+float aggregation (per-row ratios are fine — both engines do identical
+IEEE double ops on identical inputs); money sums use integer cents so
+partial-aggregation order can't produce ulp drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ferrobus_spark.functions.text import (
+    BPE_RE,
+    STOPWORDS,
+    WORD_RE,
+    fingerprint_udf,
+    lang_id_udf,
+    n_bpe_tokens_col,
+    n_words_col,
+    quality_cols,
+)
+from ferrobus_spark.registry import _docs, _read, register
+
+# ---------------------------------------------------------------------------
+# text analysis (oracle-checked)
+# ---------------------------------------------------------------------------
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "token_stats",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{WORD_RE}')) AS n_words,
+           len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_stats(spark, sf_dir):
+    """Token counting: whitespace words + BPE-ish subword regex."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        n_words_col("text").alias("n_words"),
+        n_bpe_tokens_col("text").alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "quality_stats",
+    f"""
+    SELECT doc_id,
+           length(text) AS n_chars_q,
+           length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+           len(list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                           w -> w IN ({_STOP_LIST}))) AS n_stopwords
+    FROM documents
+    """,
+)
+def q_quality_stats(spark, sf_dir):
+    """Quality-signal counts (ratios derive from these; int-exact)."""
+    c = F.col("text")
+    words = F.regexp_extract_all(F.lower(c), F.lit("[a-z]+"), F.lit(0))
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.length(c).cast("long").alias("n_chars_q"),
+        F.length(F.regexp_replace(c, "[^A-Za-z]", "")).cast("long").alias("n_alpha"),
+        F.length(F.regexp_replace(c, "[^0-9]", "")).cast("long").alias("n_digit"),
+        F.size(F.filter(words, lambda w: w.isin(STOPWORDS))).cast("long").alias("n_stopwords"),
+    )
+
+
+@register("lang_id_pred")  # rows-only: heuristic classifier, pytest-scored
+def q_lang_id_pred(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", lang_id_udf(F.col("text")).alias("lang_pred")
+    )
+
+
+@register("doc_fingerprint")  # rows-only: hash engine-internal
+def q_doc_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", fingerprint_udf(F.col("text")).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup (LSH families — rows-only; exactness pytest-verified vs brute force)
+# ---------------------------------------------------------------------------
+
+@register("minhash_dup_pairs")
+def q_minhash_dup_pairs(spark, sf_dir):
+    from ferrobus_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
+
+    sigs = minhash_signatures(_docs(spark, sf_dir))
+    return minhash_lsh_pairs(sigs, threshold=0.5).select("id_a", "id_b")
+
+
+@register("simhash_near_pairs")
+def q_simhash_near_pairs(spark, sf_dir):
+    from ferrobus_spark.operators.dedup import simhash_col, simhash_near_pairs
+
+    return simhash_near_pairs(simhash_col(_docs(spark, sf_dir)), max_hamming=3)
+
+
+@register(
+    "ngram_exact_dups",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM documents a JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id
+    """,
+)
+def q_ngram_exact_dups(spark, sf_dir):
+    """Jaccard == 1.0 pairs from the LSH pipeline ≡ exact text dups.
+
+    (On this corpus texts are either identical or far apart, so the
+    full minhash→LSH→exact-Jaccard refine chain must land exactly on
+    the equality self-join — a strong end-to-end oracle for the whole
+    dedup stack.)
+    """
+    from ferrobus_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sigs = minhash_signatures(docs)
+    cand = minhash_lsh_pairs(sigs, threshold=0.9).select("id_a", "id_b")
+    exact = ngram_jaccard_pairs(docs, cand)
+    return exact.filter(F.col("jaccard") == 1.0).select("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+@register(
+    "knn_embeddings_bruteforce",
+    """
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                        c.vec_id
+             ) AS rank
+      FROM embeddings q CROSS JOIN embeddings c
+      WHERE q.vec_id <> c.vec_id
+    ) WHERE rank <= 3
+    """,
+)
+def q_knn_embeddings_bruteforce(spark, sf_dir):
+    """Exact cosine top-3 neighbors per embedding (ANN baseline)."""
+    from ferrobus_spark.operators.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    res = brute_force_topk(spark, emb, emb, k=3)
+    return res.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+
+
+@register("knn_embeddings_lsh")  # rows-only: approximate; recall pytest-scored
+def q_knn_embeddings_lsh(spark, sf_dir):
+    from ferrobus_spark.operators.similarity import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return lsh_topk(spark, emb, emb, k=3).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register("embedding_neardup_pairs")  # rows-only
+def q_embedding_neardup(spark, sf_dir):
+    from ferrobus_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(spark, emb, threshold=0.95).select("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (stubbed codecs, real Spark contract)
+# ---------------------------------------------------------------------------
+
+@register("image_metadata")  # rows-only: decode is a deterministic stub
+def q_image_metadata(spark, sf_dir):
+    from ferrobus_spark.operators.multimodal import decode_metadata
+    from ferrobus_spark.sources.pages import pages_table
+
+    return decode_metadata(pages_table(spark, sf_dir), binary_col="html")
+
+
+# ---------------------------------------------------------------------------
+# relational coverage over the TPC-H-ish tables (oracle-checked)
+# maps to reference op families: F4 semi-join, A1-A4 aggs, W1 windows
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped agg; money in integer cents (order-independent)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02 00:00:00")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100.0, 0).cast("bigint"))
+            .alias("sum_price_cents"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, rn FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 2
+    """,
+)
+def q_top_orders_per_customer(spark, sf_dir):
+    """Window top-k (reference W1 top-k shape) over orders."""
+    o = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint").desc(), "o_orderkey"
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+@register(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100.0, 0) AS BIGINT)) AS BIGINT)
+             AS revenue_cents,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_revenue_by_nation(spark, sf_dir):
+    """Star join + agg: broadcast dims, shuffle fact (reference J3/J4 shape)."""
+    li = _read(spark, sf_dir, "lineitem")
+    s = _read(spark, sf_dir, "supplier")
+    n = _read(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100.0, 0)
+                .cast("bigint")
+            ).alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+    SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events FROM (
+      SELECT user_id, session_id, COUNT(*) AS n_events
+      FROM (
+        SELECT user_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                           > 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS is_new
+          FROM events
+        )
+      ) GROUP BY user_id, session_id
+    ) GROUP BY user_id
+    """,
+)
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization (30-min gap) via lag + running sum windows."""
+    e = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("is_new").over(run))
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# transit engine products on the synthetic fixture (rows-only here;
+# exactness is enforced by the pytest oracle suite)
+# ---------------------------------------------------------------------------
+
+_MODEL_CACHE: dict[int, object] = {}
+
+
+def _transit_ctx(spark):
+    key = id(spark)
+    if key not in _MODEL_CACHE:
+        from ferrobus_spark.model.build import build_model
+        from ferrobus_spark.routing.timetable import build_timetable_csr
+        from ferrobus_spark.sources.transit import MAX_TRANSFER_TIME, QUERY_DATE, to_spark
+
+        model = build_model(spark, to_spark(spark), QUERY_DATE, MAX_TRANSFER_TIME)
+        tt = build_timetable_csr(model.tables)
+        _MODEL_CACHE[key] = (model, tt)
+    return _MODEL_CACHE[key]
+
+
+@register("transit_travel_time_matrix")
+def q_transit_matrix(spark, sf_dir):
+    import pandas as pd
+
+    from ferrobus_spark.routing import products
+    from ferrobus_spark.routing.points import build_point_tables
+    from ferrobus_spark.sources.transit import query_points
+
+    model, tt = _transit_ctx(spark)
+    pts = build_point_tables(
+        spark, spark.createDataFrame(query_points()),
+        model["street_nodes"], model["node_to_stop"], model.csr,
+    )
+    return products.travel_time_matrix(spark, tt, model.csr, pts, 8 * 3600, 3)
+
+
+@register("transit_isochrone_tiles")
+def q_transit_isochrone(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from ferrobus_spark.operators import isochrone as iso
+    from ferrobus_spark.routing.points import build_point_tables
+    from ferrobus_spark.sources.transit import node_lonlat
+
+    model, tt = _transit_ctx(spark)
+    area = np.array(
+        [[-122.495, 37.705], [-122.43, 37.705], [-122.43, 37.77], [-122.495, 37.77]]
+    )
+    grid = iso.build_iso_grid(spark, model, area, res=7)
+    origins = build_point_tables(
+        spark,
+        spark.createDataFrame(
+            pd.DataFrame([(0, *node_lonlat(10, 3))], columns=["point_id", "lon", "lat"])
+        ),
+        model["street_nodes"], model["node_to_stop"], model.csr,
+    )
+    return iso.isochrone_cells(spark, tt, model, origins, grid, 8 * 3600, 3, 1800)

@@ -1,0 +1,110 @@
+"""TransitPoint precomputation as DataFrames (reference §1.4).
+
+A "transit point" is the engine's indexed access object
+(transit_model.rs:190-247): snap to nearest street node, bounded SSSP
+over the street graph, harvest canonical stops among reached nodes,
+keep top-k by access time. Built for whole point tables at once:
+
+  point_nodes(point_id, node_id, snap_secs)          — J1 snap + gate
+  point_walk(point_id, node_id, walk_secs)           — bounded SSSP out
+  point_stops(point_id, stop_idx, access_secs, rank) — k-NN by network time
+
+Tie-break: (access_secs, stop_idx) — deterministic refinement of the
+reference's unspecified HashMap tie order (documented deviation).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ferrobus_spark.model.snap import nearest_node_join
+from ferrobus_spark.routing.csr import CSRGraph, bounded_dijkstra
+
+
+def build_point_tables(
+    spark: SparkSession,
+    points: DataFrame,
+    street_nodes: DataFrame,
+    node_to_stop: DataFrame,
+    csr: CSRGraph,
+    max_walking_time: int = 1200,
+    max_stops: int = 10,
+) -> dict[str, DataFrame]:
+    """points(point_id, lon, lat[, max_walking_time, max_nearest_stops])."""
+    cols = points.columns
+    if "max_walking_time" not in cols:
+        points = points.withColumn("max_walking_time", F.lit(max_walking_time))
+    if "max_nearest_stops" not in cols:
+        points = points.withColumn("max_nearest_stops", F.lit(max_stops))
+
+    snapped = nearest_node_join(
+        points.select("point_id", "lon", "lat"), street_nodes, "point_id"
+    ).join(
+        points.select("point_id", "max_walking_time", "max_nearest_stops"), "point_id"
+    )
+    # snap gate: beyond max walking time → point is unroutable (excluded)
+    point_nodes = snapped.filter(F.col("snap_secs") <= F.col("max_walking_time"))
+
+    n2s = {int(r.node_id): int(r.stop_idx) for r in node_to_stop.collect()}
+    bc = spark.sparkContext.broadcast((csr, n2s))
+
+    walk_schema = T.StructType([
+        T.StructField("point_id", T.LongType()),
+        T.StructField("node_id", T.LongType()),
+        T.StructField("walk_secs", T.LongType()),
+    ])
+    stops_schema = T.StructType([
+        T.StructField("point_id", T.LongType()),
+        T.StructField("stop_idx", T.LongType()),
+        T.StructField("access_secs", T.LongType()),
+        T.StructField("rank", T.IntegerType()),
+    ])
+
+    def walk_kernel(batches):
+        g, _ = bc.value
+        for pdf in batches:
+            rows_p, rows_n, rows_s = [], [], []
+            for pid, node, snap, mwt in zip(
+                pdf["point_id"], pdf["node_id"], pdf["snap_secs"], pdf["max_walking_time"]
+            ):
+                dense = int(g.dense_of([node])[0])
+                dist = bounded_dijkstra(g, dense, max_cost=int(mwt) - int(snap))
+                for nd, secs in dist.items():
+                    rows_p.append(int(pid))
+                    rows_n.append(int(g.node_ids[nd]))
+                    rows_s.append(secs)
+            yield pd.DataFrame({"point_id": rows_p, "node_id": rows_n, "walk_secs": rows_s})
+
+    def stops_kernel(batches):
+        g, n2s_ = bc.value
+        for pdf in batches:
+            out = []
+            for pid, node, snap, mwt, mns in zip(
+                pdf["point_id"], pdf["node_id"], pdf["snap_secs"],
+                pdf["max_walking_time"], pdf["max_nearest_stops"],
+            ):
+                bound = int(mwt) - int(snap)
+                dense = int(g.dense_of([node])[0])
+                dist = bounded_dijkstra(g, dense, max_cost=bound)
+                near = []
+                for nd, secs in dist.items():
+                    ext = int(g.node_ids[nd])
+                    if secs <= bound and ext in n2s_:
+                        near.append((secs + int(snap), n2s_[ext]))
+                near.sort()
+                for rank, (secs, sidx) in enumerate(near[: int(mns)], 1):
+                    out.append((int(pid), sidx, secs, rank))
+            yield pd.DataFrame(out, columns=["point_id", "stop_idx", "access_secs", "rank"])
+
+    parts = max(1, min(point_nodes.count(), spark.sparkContext.defaultParallelism * 2))
+    src = point_nodes.repartition(parts).localCheckpoint()
+    return {
+        "point_nodes": src.select(
+            "point_id", "node_id", "snap_secs", "max_walking_time"
+        ),
+        "point_walk": src.mapInPandas(walk_kernel, walk_schema),
+        "point_stops": src.mapInPandas(stops_kernel, stops_schema),
+    }

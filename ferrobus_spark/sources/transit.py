@@ -58,13 +58,13 @@ ROUTE_DEFS = [
     ("R5", "WK", _V, 20, [2, 6, 10, 14, 18, 22, 26, 30, 34]),
     ("R6", "WKX", _V, 30, [2, 6, 10, 14, 18, 22, 26, 30, 34]),  # removed on QUERY_DATE
     ("R7", "WK", _H, 5, None),  # two patterns, built specially
-    ("R8", "SPC", _V, 24, [8, 12, 16, 20]),  # added by exception on QUERY_DATE
+    ("R8", "SPC", _H, 18, [14, 20, 26, 32]),  # added by exception on QUERY_DATE
 ]
 
 N_TRIPS = 20
 FIRST_DEP = 6 * 3600
-HEADWAY = 1200
-RUN = 180  # stop-to-stop seconds
+HEADWAY = 600
+RUN = 150  # stop-to-stop seconds
 DWELL = 30
 
 
@@ -139,9 +139,10 @@ def transit_fixture() -> dict[str, pd.DataFrame]:
     for c in (0, 3, 6, 7, 9, 12):
         lon, lat = node_lonlat(5, c)
         add_stop(f"S5_{c}", lon, lat)
-    # co-located pair at node (20, 20): second stop exactly on same node
-    lon, lat = node_lonlat(20, 20)
-    add_stop("CO_A", lon, lat)  # S20_20 already exists from R2/R5
+    # co-located pair at node (18, 20): S18_20 (R5) already sits there;
+    # CO_A (served by R8) shares the node → synthetic zero-cost transfer
+    lon, lat = node_lonlat(18, 20)
+    add_stop("CO_A", lon, lat)
     # slightly offset stop (≈31 m east) to exercise nonzero snap cost
     lon, lat = node_lonlat(20, 24)
     add_stop("OFFSET_1", lon + 0.00035, lat)
@@ -168,7 +169,7 @@ def transit_fixture() -> dict[str, pd.DataFrame]:
             continue
         sids = [f"S{r}_{c}" for r, c in (_stop_pos(axis, line, k) for k in ks)]
         if route_id == "R8":
-            sids = ["CO_A" if s == "S24_20" else s for s in sids]
+            sids = ["CO_A" if s == "S18_20" else s for s in sids]
         # R1 uses seq starting at 0 → hits the seq-0 arrival:=departure rule
         seq_start = 0 if route_id == "R1" else 1
         for t_i in range(N_TRIPS):
@@ -278,5 +279,9 @@ def to_spark(spark, fixture: dict[str, pd.DataFrame] | None = None):
             pdf["min_transfer_time"] = pdf["min_transfer_time"].astype(object).where(
                 pdf["min_transfer_time"].notna(), None
             )
+        if name == "gtfs_stops":
+            # file order defines the dense stop index (processor.rs:389-393)
+            pdf = pdf.copy()
+            pdf["file_idx"] = range(len(pdf))
         out[name] = spark.createDataFrame(pdf)
     return out

@@ -14,10 +14,33 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from ferrobus_spark.session import get_spark
 
-    s = get_spark("ferrobus-tests", master="local[4]", shuffle_partitions=8)
+    s = get_spark("ferrobus-tests", master="local[8]", shuffle_partitions=8)
     yield s
 
 
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def oracle_model():
+    from ferrobus_spark.sources.transit import MAX_TRANSFER_TIME, QUERY_DATE, transit_fixture
+    from tests.oracle import transit_oracle as O
+
+    return O.build_model(transit_fixture(), QUERY_DATE, MAX_TRANSFER_TIME)
+
+
+@pytest.fixture(scope="session")
+def spark_model(spark):
+    from ferrobus_spark.model.build import build_model
+    from ferrobus_spark.sources.transit import MAX_TRANSFER_TIME, QUERY_DATE, to_spark
+
+    return build_model(spark, to_spark(spark), QUERY_DATE, MAX_TRANSFER_TIME)
+
+
+@pytest.fixture(scope="session")
+def timetable(spark_model):
+    from ferrobus_spark.routing.timetable import build_timetable_csr
+
+    return build_timetable_csr(spark_model.tables)

@@ -1,0 +1,118 @@
+"""Dedup + text-analysis operators: correctness vs brute force."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ferrobus_spark.operators.dedup import (
+    _minhash,
+    _shingle_hashes,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_col,
+    simhash_near_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = [
+        "the quick brown fox jumps over the lazy dog in the park",
+        "a completely different document about spark dataframes and shuffles",
+        "numerical analysis of partial differential equations on meshes",
+        "cats and dogs living together in a quiet neighborhood street",
+        "web scale data processing with distributed hash joins and sorts",
+    ]
+    rows = []
+    did = 0
+    for i, t in enumerate(base):
+        rows.append((did, t)); did += 1
+        rows.append((did, t)); did += 1                      # exact dup
+        rows.append((did, t.replace("the", "teh", 1))); did += 1  # near dup
+        rows.append((did, t + " extra trailing words appended here")); did += 1
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def _true_jaccard(a: str, b: str, k: int = 5) -> float:
+    sa, sb = _shingle_hashes(a, k), _shingle_hashes(b, k)
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def test_minhash_estimates_jaccard(corpus):
+    pdf = corpus.toPandas()
+    sigs = {r.id: np.array(r.signature) for r in
+            minhash_signatures(corpus, n_hashes=128).collect()}
+    texts = dict(zip(pdf["doc_id"], pdf["text"]))
+    for a, b in [(0, 1), (0, 2), (0, 3), (0, 4)]:
+        est = (sigs[a] == sigs[b]).mean()
+        true = _true_jaccard(texts[a], texts[b])
+        assert est == pytest.approx(true, abs=0.15), (a, b)
+
+
+def test_lsh_finds_all_high_jaccard_pairs(corpus):
+    pdf = corpus.toPandas()
+    texts = dict(zip(pdf["doc_id"], pdf["text"]))
+    ids = sorted(texts)
+    truth = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if _true_jaccard(texts[a], texts[b]) >= 0.6
+    }
+    sigs = minhash_signatures(corpus, n_hashes=128)
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(sigs, n_bands=32, threshold=0.5).collect()
+    }
+    assert truth <= got  # recall: every true near-dup pair surfaces
+    # and exact-refine confirms their true jaccard
+    pairs = corpus.sparkSession.createDataFrame(
+        pd.DataFrame(sorted(truth), columns=["id_a", "id_b"])
+    )
+    refined = ngram_jaccard_pairs(corpus, pairs).toPandas()
+    for r in refined.itertuples(index=False):
+        assert r.jaccard == pytest.approx(_true_jaccard(texts[r.id_a], texts[r.id_b]))
+
+
+def test_simhash_exact_dups_have_zero_hamming(corpus):
+    sim = {r.id: r.simhash for r in simhash_col(corpus).collect()}
+    assert sim[0] == sim[1]  # identical texts → identical simhash
+    pairs = simhash_near_pairs(simhash_col(corpus), max_hamming=3).toPandas()
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.itertuples(index=False)}
+    assert got[(0, 1)] == 0
+
+
+def test_lang_id_accuracy(spark):
+    from ferrobus_spark.functions.text import lang_id_udf
+
+    samples = [
+        ("en", "the cat sat on the mat and that was that for the day"),
+        ("de", "der hund und die katze sind nicht das problem in der stadt"),
+        ("fr", "le chat et la souris sont dans les jardins est bien"),
+        ("es", "el perro y la casa de que los gatos es grande"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(samples, columns=["lang", "text"]))
+    got = df.select("lang", lang_id_udf("text").alias("pred")).collect()
+    for r in got:
+        assert r.pred == r.lang, r
+
+
+def test_quality_and_fingerprint_deterministic(spark, corpus):
+    from ferrobus_spark.functions.text import fingerprint_udf, quality_score_col
+
+    a = corpus.select("doc_id", quality_score_col("text").alias("q"),
+                      fingerprint_udf("text").alias("fp")).toPandas()
+    b = corpus.select("doc_id", quality_score_col("text").alias("q"),
+                      fingerprint_udf("text").alias("fp")).toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
+    assert a["q"].between(0, 1).all()
+    # identical texts → identical fingerprints; distinct texts → distinct
+    fp = dict(zip(a["doc_id"], a["fp"]))
+    assert fp[0] == fp[1]
+    assert fp[0] != fp[4]

@@ -1,0 +1,90 @@
+"""Similarity search + streaming operators."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ferrobus_spark.operators.similarity import brute_force_topk, lsh_topk
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_bruteforce_topk_matches_numpy(spark, embeddings):
+    got = brute_force_topk(spark, embeddings, embeddings, k=3).toPandas()
+    pdf = embeddings.toPandas()
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    scores = mat @ mat.T
+    for qi in range(min(50, len(ids))):
+        s = scores[qi].copy()
+        order = np.lexsort((ids, -s))
+        exp = [int(ids[j]) for j in order if ids[j] != ids[qi]][:3]
+        sub = got[got["query_id"] == ids[qi]].sort_values("rank")
+        assert sub["neighbor_id"].tolist() == exp, ids[qi]
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    exact = brute_force_topk(spark, embeddings, embeddings, k=1).toPandas()
+    approx = lsh_topk(spark, embeddings, embeddings, k=1,
+                      n_tables=16, bits_per_table=4).toPandas()
+    e1 = dict(zip(exact["query_id"], exact["neighbor_id"]))
+    a1 = dict(zip(approx["query_id"], approx["neighbor_id"]))
+    hits = sum(1 for q, n in e1.items() if a1.get(q) == n)
+    recall = hits / len(e1)
+    assert recall >= 0.7, f"LSH 1-NN recall too low: {recall:.2f}"
+
+
+def test_streaming_windowed_counts(spark, sf_dir, tmp_path):
+    import shutil
+
+    from ferrobus_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        windowed_event_counts,
+    )
+
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-0.parquet")
+
+    stream = read_events_stream(spark, str(src))
+    assert stream.isStreaming
+    rows = run_available_now(windowed_event_counts(stream), "win_counts_t")
+
+    # batch twin must agree exactly
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exp = (
+        batch.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .collect()
+    )
+    got = {(r.window_start, r.event_type): r.n_events for r in rows}
+    want = {(r.window_start, r.event_type): r.n_events for r in exp}
+    assert got == want
+
+
+def test_streaming_session_windows(spark, sf_dir, tmp_path):
+    import shutil
+
+    from ferrobus_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        session_windows,
+    )
+
+    src = tmp_path / "events_stream2"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-0.parquet")
+    rows = run_available_now(
+        session_windows(read_events_stream(spark, str(src))), "sess_t"
+    )
+    assert len(rows) > 0
+    # session totals must cover every event exactly once
+    total = sum(r.n_events for r in rows)
+    assert total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
