@@ -26,6 +26,15 @@ uses). Equivalence to the sequential reference semantics:
 * next frontier = stops whose best arrival improved this round
   (state.rs:44-57 marks exactly when best improves).
 
+Known delta: the reference's footpath pass reads live board times in
+ascending stop order, so a transfer chain s1→s2→s3 (s1<s2, both
+route-marked) can relax TWO hops within one round as an artifact of
+iteration order. Set-semantics dataflow relaxes one hop per round;
+such chains complete one round later (arrival values can differ on
+multi-leg footpath chains when rounds are exhausted). The broadcast
+kernel replicates the reference exactly; this variant trades that
+incidental order-dependence for shuffle-parallel execution.
+
 Verified label-for-label against the broadcast kernel in
 tests/test_raptor_joins.py.
 """

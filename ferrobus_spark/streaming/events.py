@@ -66,6 +66,7 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
 def run_available_now(stream_df: DataFrame, query_name: str) -> list:
     """Drain a file stream with the availableNow trigger into memory;
     returns the collected rows (test/bench harness helper)."""
+    session = stream_df.sparkSession
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
@@ -74,4 +75,4 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> list:
         .start()
     )
     q.awaitTermination()
-    return q.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
+    return session.sql(f"SELECT * FROM {query_name}").collect()

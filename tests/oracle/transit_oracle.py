@@ -436,10 +436,13 @@ def raptor(model: Model, source: int, target: int | None, departure: int, max_tr
                 if effective_board >= target_bound:
                     break
 
-        # footpaths from marked stops (board times, same round)
+        # footpaths from marked stops (board times, same round).
+        # Iterate ASCENDING: the reference walks a FixedBitSet
+        # (state.marked_stops.ones()) and reads curr_board live, so
+        # within-round transfer chaining is order-dependent.
         new_marks = set()
         tb = best[target] if target is not None else INF
-        for s in list(marked):
+        for s in sorted(marked):
             cb = curr_board[s]
             for tstop, dur in model.transfers.get(s, []):
                 nt = cb + dur
