@@ -58,24 +58,82 @@ def _minhash(shingles: np.ndarray, n_hashes: int) -> np.ndarray:
     return vals.min(axis=1)
 
 
+def _batch_shingle_hashes(texts, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling k-byte hashes for a whole batch in one vectorized pass.
+
+    Returns (flat_hashes, doc_starts) where doc i's window hashes are
+    ``flat[starts[i]:starts[i+1]]``. Duplicate shingles are kept — a
+    MinHash minimum is unaffected by multiplicity, so per-doc
+    ``np.unique`` (a per-row Python cost) is skipped on this path.
+    """
+    bufs = []
+    lens = []
+    for t in texts:
+        b = (t or "").encode("utf-8", "ignore")
+        if len(b) < k:
+            b = b + b"\x00" * (k - len(b))
+        bufs.append(b)
+        lens.append(len(b))
+    data = b"".join(bufs)
+    arr = np.frombuffer(data, np.uint8).astype(np.uint64)
+    n = len(arr)
+    base = np.uint64(1099511628211)
+    h = np.zeros(max(n - k + 1, 0), np.uint64)
+    for i in range(k):
+        h = h * base + arr[i : n - k + 1 + i]
+    lens = np.array(lens, np.int64)
+    doc_off = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    n_windows = lens - k + 1
+    starts = np.concatenate([[0], np.cumsum(n_windows)])
+    # select per-doc window ranges out of the global window array
+    idx = np.concatenate(
+        [np.arange(o, o + w) for o, w in zip(doc_off, n_windows)]
+    ) if len(lens) else np.array([], np.int64)
+    return h[idx], starts
+
+
+def _minhash_params(n_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(20240501)
+    a = rng.integers(1, MERSENNE, n_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, MERSENNE, n_hashes, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     n_hashes: int = 64, shingle: int = 5,
 ) -> DataFrame:
-    """(id, signature array<long>) — Arrow-batched, no per-row Python."""
+    """(id, signature array<long>) — Arrow-batched, no per-row Python.
+
+    One vectorized pass per Arrow batch: all docs' shingle hashes are
+    concatenated, each permutation is applied to the whole flat array,
+    and per-doc minima come from ``np.minimum.reduceat`` over the doc
+    boundaries — the hashing cost is batch-wide matrix work, not a
+    Python loop body.
+    """
     sig_t = T.StructType([
         T.StructField("id", T.LongType()),
         T.StructField("signature", T.ArrayType(T.LongType())),
     ])
+    a, b = _minhash_params(n_hashes)
 
     def kernel(batches):
         for pdf in batches:
-            ids, sigs = [], []
-            for i, txt in zip(pdf[id_col], pdf[text_col]):
-                sh = _shingle_hashes(txt or "", shingle)
-                sigs.append(_minhash(sh, n_hashes).astype(np.int64).tolist())
-                ids.append(int(i))
-            yield pd.DataFrame({"id": ids, "signature": sigs})
+            ids = pdf[id_col].to_numpy(np.int64)
+            if len(ids) == 0:
+                yield pd.DataFrame({"id": [], "signature": []})
+                continue
+            flat, starts = _batch_shingle_hashes(list(pdf[text_col]), shingle)
+            x = flat % np.uint64(MERSENNE)
+            seg_starts = starts[:-1]
+            sigs = np.empty((len(ids), n_hashes), np.uint64)
+            for h in range(n_hashes):
+                vals = (a[h] * x + b[h]) % np.uint64(MERSENNE)
+                sigs[:, h] = np.minimum.reduceat(vals, seg_starts)
+            yield pd.DataFrame({
+                "id": ids,
+                "signature": list(sigs.astype(np.int64)),
+            })
 
     return df.select(id_col, text_col).mapInPandas(kernel, sig_t)
 
@@ -88,12 +146,18 @@ def minhash_lsh_pairs(
     Bands become rows (explode), candidates meet via an equi-join on
     (band, band-hash) — a pure shuffle join Spark parallelizes freely.
     est_jaccard = fraction of agreeing signature positions.
+
+    Plan shape matters at scale: signatures are materialized once
+    (the Arrow UDF would otherwise recompute for every self-join
+    branch), candidate pairs dedupe on bare (id_a, id_b) BEFORE the
+    wide signature rows are joined back — never `distinct` on array
+    columns.
     """
+    sigs = sigs.localCheckpoint()
     n_hashes = len(sigs.select("signature").first()["signature"])
     rows_per_band = n_hashes // n_bands
     bands = sigs.select(
         "id",
-        "signature",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -101,25 +165,25 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    a = bands.select(
-        F.col("id").alias("id_a"), F.col("signature").alias("sig_a"), "band", "bucket"
-    )
-    b = bands.select(
-        F.col("id").alias("id_b"), F.col("signature").alias("sig_b"), "band", "bucket"
-    )
+    a = bands.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = bands.select(F.col("id").alias("id_b"), "band", "bucket")
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
     agree = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
         F.lit(0),
         lambda acc, v: acc + v,
     )
     return (
-        cand.withColumn("est_jaccard", agree / F.lit(float(n_hashes)))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", agree / F.lit(float(n_hashes)))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )

@@ -76,6 +76,46 @@ def q_quality_stats(spark, sf_dir):
     )
 
 
+def _dlit(x: float) -> str:
+    from ferrobus_spark.hexgrid import dlit
+
+    return dlit(x)
+
+
+_NZ = f"CAST(GREATEST(CAST(length(text) AS BIGINT), 1) AS DOUBLE)"
+_NW = (
+    f"CAST(GREATEST(len(regexp_extract_all(lower(text), '[a-z]+')), 1) AS DOUBLE)"
+)
+_ALPHA = "CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT)"
+_DIGIT = "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)"
+_NSTOP = (
+    "len(list_filter(regexp_extract_all(lower(text), '[a-z]+'), "
+    f"w -> w IN ({_STOP_LIST})))"
+)
+
+
+@register(
+    "quality_score",
+    f"""
+    SELECT doc_id,
+           LEAST(CAST(CAST(length(text) AS BIGINT) AS DOUBLE) / {_dlit(200.0)}, {_dlit(1.0)}) * {_dlit(0.3)}
+         + LEAST(({_ALPHA} / {_NZ}) / {_dlit(0.7)}, {_dlit(1.0)}) * {_dlit(0.3)}
+         + LEAST(({_NSTOP} / {_NW}) / {_dlit(0.3)}, {_dlit(1.0)}) * {_dlit(0.3)}
+         + ({_dlit(1.0)} - LEAST(({_DIGIT} / {_NZ}) * {_dlit(4.0)}, {_dlit(1.0)})) * {_dlit(0.1)}
+           AS score
+    FROM documents
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    """Composite [0,1] quality heuristic, bit-matched against DuckDB
+    (per-row double arithmetic from integer counts — no float aggs)."""
+    from ferrobus_spark.functions.text import quality_score_col
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", quality_score_col("text").alias("score")
+    )
+
+
 @register("lang_id_pred")  # rows-only: heuristic classifier, pytest-scored
 def q_lang_id_pred(spark, sf_dir):
     return _docs(spark, sf_dir).select(
@@ -367,6 +407,71 @@ def q_transit_matrix(spark, sf_dir):
         model["street_nodes"], model["node_to_stop"], model.csr,
     )
     return products.travel_time_matrix(spark, tt, model.csr, pts, 8 * 3600, 3)
+
+
+@register("transit_range_pareto")
+def q_transit_range_pareto(spark, sf_dir):
+    """Range routing journeys + exact Pareto flags over the fixture."""
+    from ferrobus_spark.routing.points import build_point_tables
+    from ferrobus_spark.routing.range import range_routing
+    from ferrobus_spark.sources.transit import query_points
+
+    model, tt = _transit_ctx(spark)
+    pts = build_point_tables(
+        spark, spark.createDataFrame(query_points()),
+        model["street_nodes"], model["node_to_stop"], model.csr,
+    )
+    od = spark.createDataFrame(
+        [(0, 0, 5), (1, 2, 8), (2, 1, 11)], "pair_id LONG, origin_id LONG, dest_id LONG"
+    )
+    return range_routing(
+        spark, tt, model.csr, od, pts, pts, (7 * 3600, 9 * 3600), 3
+    )
+
+
+@register("transit_detailed_journeys")
+def q_transit_detailed_journeys(spark, sf_dir):
+    """Traced journey legs (walk/transit/transfer chain) per OD pair."""
+    from ferrobus_spark.routing.points import build_point_tables
+    from ferrobus_spark.routing.traced import detailed_journeys
+    from ferrobus_spark.sources.transit import query_points
+
+    model, tt = _transit_ctx(spark)
+    pts = build_point_tables(
+        spark, spark.createDataFrame(query_points()),
+        model["street_nodes"], model["node_to_stop"], model.csr,
+    )
+    od = spark.createDataFrame(
+        [(0, 0, 5), (1, 2, 8), (2, 4, 9)], "pair_id LONG, origin_id LONG, dest_id LONG"
+    )
+    return detailed_journeys(spark, tt, model.csr, od, pts, pts, 8 * 3600, 3)
+
+
+@register("transit_percent_access")
+def q_transit_percent_access(spark, sf_dir):
+    """Percent-access heat map (A7): departure samples × reachable tiles."""
+    import numpy as np
+    import pandas as pd
+
+    from ferrobus_spark.operators import isochrone as iso
+    from ferrobus_spark.routing.points import build_point_tables
+    from ferrobus_spark.sources.transit import node_lonlat
+
+    model, tt = _transit_ctx(spark)
+    area = np.array(
+        [[-122.495, 37.705], [-122.43, 37.705], [-122.43, 37.77], [-122.495, 37.77]]
+    )
+    grid = iso.build_iso_grid(spark, model, area, res=7)
+    origins = build_point_tables(
+        spark,
+        spark.createDataFrame(
+            pd.DataFrame([(0, *node_lonlat(10, 3))], columns=["point_id", "lon", "lat"])
+        ),
+        model["street_nodes"], model["node_to_stop"], model.csr,
+    )
+    return iso.percent_access_cells(
+        spark, tt, model, origins, grid, (7 * 3600, 7 * 3600 + 3600), 1200, 3, 1800
+    )
 
 
 @register("transit_isochrone_tiles")

@@ -13,8 +13,9 @@ import __spark_entry__ as entry_mod
 SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 ROWS_ONLY = sorted(
-    set(entry_mod.queries()) - set(entry_mod.oracle_sql())
-    - {"transit_travel_time_matrix", "transit_isochrone_tiles"}
+    name
+    for name in set(entry_mod.queries()) - set(entry_mod.oracle_sql())
+    if not name.startswith("transit_")  # transit exactness → oracle suites
 )
 
 
