@@ -68,6 +68,32 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         per_query[name] = round(best, 4)
 
+    # north-rule throughput at meaningful scale: the headline spatial path
+    # over 50M synthesized pages rows (deterministic geo from row id) —
+    # the sf tables are too small to saturate the executor threads
+    from pyspark.sql import functions as F
+
+    from ferrobus_spark.registry import CELL_REF_SQL, LAT_SQL, LON_SQL, PIP_POLY, convex_pip_sql
+
+    big_rows = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", 50_000_000))
+
+    def big_job():
+        return (
+            spark.range(0, big_rows, 1, 128)
+            .withColumnRenamed("id", "doc_id")
+            .selectExpr("doc_id", f"{LON_SQL} AS lon", f"{LAT_SQL} AS lat")
+            .withColumn("cell", F.expr(CELL_REF_SQL))
+            .filter(F.expr(convex_pip_sql("lon", "lat", PIP_POLY)))
+            .groupBy("cell")
+            .agg(F.count("*").alias("n_pages"))
+        )
+
+    big_best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        big_job().write.mode("overwrite").format("noop").save()
+        big_best = min(big_best, time.perf_counter() - t0)
+
     total = round(sum(per_query.values()), 4)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
     out = {
@@ -82,6 +108,9 @@ def main() -> None:
             if per_query.get("tile_assign")
             else None
         ),
+        "spatial_pipeline_rows": big_rows,
+        "spatial_pipeline_sec": round(big_best, 3),
+        "spatial_pipeline_rows_per_sec": round(big_rows / big_best, 1),
         "cpus": int(CPUS),
     }
     print(json.dumps(out))

@@ -1,21 +1,30 @@
-"""Traced RAPTOR + detailed journey legs (reference itinerary/, traced/).
+"""Traced RAPTOR + detailed journey legs — exact reference semantics.
 
-Per-round label snapshots with predecessor records, backtracked into a
-legs table: walk (access/egress/transfer) and transit legs with board/
-alight stops and times, plus a GeoJSON emit. Arrival times are the
-oracle-exact kernel's; leg structure is validated by invariants
-(chronology, chaining, transfer-count and total-time consistency with
-the untraced result) — full structural parity with the reference's
-traced tests is round-2 work.
+Replicates traced_raptor.rs / itinerary/ structurally:
 
-Leg shape mirrors DetailedJourney (itinerary/journey_leg.rs,
-detailed_journey.rs): walking-only journeys emit a single walk leg;
-transit journeys emit access walk → (transit | transfer)* → egress walk.
+* per-round persistent label arrays with lazy predecessor records
+  (traced/state.rs:26-99): round r scans trips from round r-1's board
+  times; marks fire on ROUND-arrival improvement (a superset of the
+  untraced kernel's best-improvement marks — the reference has the
+  same asymmetry);
+* trip upgrades re-anchor the boarding stop/time of the recorded leg
+  (traced_raptor.rs:170-199);
+* backtracking walks transit edges to the previous round and transfer
+  edges within the round, validating recorded arrivals
+  (backtrack_raw_legs, :262-344);
+* normalization hides zero-duration synthetic transfers and inserts
+  Waiting legs only immediately before boarding transit
+  (normalize_legs, :347-409) — transfers_count counts VISIBLE transfer
+  legs (:420-424);
+* DetailedJourney totals: total = access + (arrival-departure) + egress,
+  walking = access + egress (in-network transfer walking excluded)
+  (detailed_journey.rs:56-107).
+
+Golden parity: the reference's own traced unit scenarios
+(traced_raptor.rs:744-880) are ported in tests/test_traced_golden.py.
 """
 
 from __future__ import annotations
-
-import json
 
 import numpy as np
 import pandas as pd
@@ -39,141 +48,226 @@ LEG_SCHEMA = T.StructType([
 ])
 
 
-def raptor_traced(tt: Timetable, source: int, departure: int, max_transfers: int,
-                  target: int):
-    """Single-target RAPTOR keeping per-round labels + predecessors.
+class TracedState:
+    """Per-round labels + predecessors (traced/state.rs)."""
 
-    pred record: ("source",) | ("transit", from_stop, route, trip, dep, arr)
-    | ("transfer", from_stop, dep, arr).
-    Returns (best_arrival or None, legs list target←source reversed).
-    """
-    n = tt.n_stops
-    rounds = max_transfers + 1
-    arr = [np.full(n, INF, np.int64) for _ in range(rounds)]
-    board = [np.full(n, INF, np.int64) for _ in range(rounds)]
-    preds: list[list] = [[None] * n for _ in range(rounds)]
-    best = np.full(n, INF, np.int64)
+    def __init__(self, n_stops: int, n_rounds: int):
+        self.arr = [np.full(n_stops, INF, np.int64) for _ in range(n_rounds)]
+        self.board = [np.full(n_stops, INF, np.int64) for _ in range(n_rounds)]
+        self.preds: list[list] = [[None] * n_stops for _ in range(n_rounds)]
+        self.marked = [np.zeros(n_stops, bool) for _ in range(n_rounds)]
+        self.best = np.full(n_stops, INF, np.int64)
 
-    def update(rnd, stop, a, b, pred):
+    def update(self, rnd: int, stop: int, arrival: int, board: int, pred) -> bool:
         updated = False
-        if a < arr[rnd][stop]:
-            arr[rnd][stop] = a
-            preds[rnd][stop] = pred
+        if arrival < self.arr[rnd][stop]:
+            self.arr[rnd][stop] = arrival
+            self.preds[rnd][stop] = pred
             updated = True
-        if b < board[rnd][stop]:
-            board[rnd][stop] = b
-        if a < best[stop]:
-            best[stop] = a
+        if board < self.board[rnd][stop]:
+            self.board[rnd][stop] = board
+        if arrival < self.best[stop]:
+            self.best[stop] = arrival
         return updated
 
-    marked = np.zeros(n, bool)
-    update(0, source, departure, departure, ("source",))
-    marked[source] = True
+    def best_round_for(self, stop: int):
+        b = self.best[stop]
+        if b == INF:
+            return None
+        for r, arr in enumerate(self.arr):
+            if arr[stop] == b:
+                return r
+        return None
+
+
+def traced_raptor(tt: Timetable, source: int, departure: int, max_transfers: int,
+                  target: int) -> "Journey | None":
+    """Single-target traced RAPTOR → Journey or None."""
+    n = tt.n_stops
+    rounds = max_transfers + 1
+    st = TracedState(n, rounds)
+
+    # round 0: source + footpaths (initialize_source_round)
+    st.update(0, source, departure, departure, ("source",))
+    st.marked[0][source] = True
     for k in range(tt.tr_indptr[source], tt.tr_indptr[source + 1]):
         t = int(tt.tr_target[k])
         dur = int(tt.tr_secs[k])
-        nt = departure + dur
-        if update(0, t, nt, nt, ("transfer", source, departure, nt)):
-            marked[t] = True
+        at = departure + dur
+        if st.update(0, t, at, at, ("transfer", source, departure, at, dur)):
+            st.marked[0][t] = True
 
     for rnd in range(1, rounds):
-        prev_board = board[rnd - 1]
-        marked_stops = np.nonzero(marked)[0]
-        if len(marked_stops) == 0:
-            break
-        route_ids = np.unique(np.concatenate(
-            [tt.sr_routes[tt.sr_indptr[s]: tt.sr_indptr[s + 1]] for s in marked_stops]
-        ))
-        marked_mask = marked.copy()
-        marked.fill(False)
-        target_bound = best[target]
-
-        for r in route_ids:
-            stops = tt.route_stops(int(r))
-            mk = np.nonzero(marked_mask[stops])[0]
-            if len(mk) == 0:
-                continue
-            start_pos = int(mk[0])
-            arr_m, dep_m = tt.trip_block(int(r))
-            n_trips = arr_m.shape[0]
-            boards = prev_board[stops]
-            e = np.full(len(stops), n_trips, np.int64)
-            active = boards != INF
-            active[:start_pos] = False
-            for pos in np.nonzero(active)[0]:
-                e[pos] = np.searchsorted(dep_m[:, pos], boards[pos], side="left")
-            t_pos = np.minimum.accumulate(e)
-            riding = t_pos < n_trips
-            if not riding.any():
-                continue
-            board_from = np.full(len(stops), -1, np.int64)
-            # stop where the currently-ridden trip was boarded
-            cur_trip = -1
-            cur_from = -1
-            cur_dep = -1
-            for pos in np.nonzero(riding)[0]:
-                ti = int(t_pos[pos])
-                s = int(stops[pos])
-                if ti != cur_trip:
-                    cur_trip = ti
-                    cur_from = s
-                    cur_dep = int(dep_m[ti, pos])
-                actual_arrival = int(arr_m[ti, pos])
-                eff_board = actual_arrival if s == target else int(dep_m[ti, pos])
-                pred = ("transit", cur_from, int(r), ti, cur_dep, actual_arrival)
-                if update(rnd, s, actual_arrival, eff_board, pred):
-                    marked[s] = True
-                if eff_board >= target_bound:
-                    break
-
-        new_marks = np.zeros(n, bool)
-        tb = best[target]
-        for s in np.nonzero(marked)[0]:
-            cb = int(board[rnd][s])
-            for k in range(tt.tr_indptr[s], tt.tr_indptr[s + 1]):
-                t = int(tt.tr_target[k])
-                nt = cb + int(tt.tr_secs[k])
-                if nt >= board[rnd][t] or nt >= tb:
-                    continue
-                if update(rnd, t, nt, nt, ("transfer", s, cb, nt)):
-                    new_marks[t] = True
-        marked |= new_marks
-        at = arr[rnd][target]
-        if at != INF and at > best[target]:
-            break
-        if not marked.any():
+        _scan_routes(tt, st, rnd, target)
+        _foot_paths(tt, st, rnd, target)
+        at = st.arr[rnd][target]
+        if at != INF and at > st.best[target]:
+            return _reconstruct(tt, st, source, target, departure)
+        if not st.marked[rnd].any():
             break
 
-    if best[target] == INF:
-        return None, []
-    # first round achieving the best arrival
-    best_round = next(
-        rnd for rnd in range(rounds) if arr[rnd][target] == best[target]
-    )
-    legs = []
-    rnd, stop = best_round, target
-    while True:
-        pred = preds[rnd][stop]
-        if pred is None:
-            # label carried implicitly from an earlier round
-            rnd -= 1
+    if st.best[target] == INF:
+        return None
+    return _reconstruct(tt, st, source, target, departure)
+
+
+def _scan_routes(tt: Timetable, st: TracedState, rnd: int, target: int):
+    prev = rnd - 1
+    prev_board = st.board[prev]
+    marked_stops = np.nonzero(st.marked[prev])[0]
+    if len(marked_stops) == 0:
+        st.marked[prev].fill(False)
+        return
+    route_ids = np.unique(np.concatenate(
+        [tt.sr_routes[tt.sr_indptr[s]: tt.sr_indptr[s + 1]] for s in marked_stops]
+    ))
+    marked_mask = st.marked[prev].copy()
+    st.marked[prev].fill(False)
+    target_bound = st.best[target]
+
+    for r in route_ids:
+        stops = tt.route_stops(int(r))
+        mk = np.nonzero(marked_mask[stops])[0]
+        if len(mk) == 0:
             continue
-        if pred[0] == "source":
-            break
+        start_pos = int(mk[0])
+        arr_m, dep_m = tt.trip_block(int(r))
+        n_trips = arr_m.shape[0]
+        # earliest catchable trip scanning from start_pos
+        trip_idx = None
+        board_pos = 0
+        for pos in range(start_pos, len(stops)):
+            eb = prev_board[stops[pos]]
+            if eb == INF:
+                continue
+            e = int(np.searchsorted(dep_m[:, pos], eb, side="left"))
+            if e < n_trips:
+                trip_idx, board_pos = e, pos
+                break
+        if trip_idx is None:
+            continue
+        boarding_idx = board_pos
+        for pos in range(board_pos, len(stops)):
+            s = int(stops[pos])
+            pb = prev_board[s]
+            if pb < dep_m[trip_idx, pos]:
+                e = int(np.searchsorted(dep_m[:, pos], pb, side="left"))
+                if e < n_trips and e != trip_idx:
+                    trip_idx = e
+                    boarding_idx = pos
+            actual_arrival = int(arr_m[trip_idx, pos])
+            effective_board = actual_arrival if s == target else int(dep_m[trip_idx, pos])
+            from_stop = int(stops[boarding_idx])
+            dep_time = int(dep_m[trip_idx, boarding_idx])
+            pred = ("transit", from_stop, int(r), int(trip_idx), dep_time, actual_arrival)
+            if st.update(rnd, s, actual_arrival, effective_board, pred):
+                st.marked[rnd][s] = True
+            if effective_board >= target_bound:
+                break
+
+
+def _foot_paths(tt: Timetable, st: TracedState, rnd: int, target: int):
+    current_marks = np.nonzero(st.marked[rnd])[0]
+    st.marked[rnd] = np.zeros(len(st.marked[rnd]), bool)
+    tb = st.best[target]
+    for s in current_marks:
+        cb = int(st.board[rnd][s])
+        for k in range(tt.tr_indptr[s], tt.tr_indptr[s + 1]):
+            t = int(tt.tr_target[k])
+            dur = int(tt.tr_secs[k])
+            at = cb + dur
+            if at >= st.board[rnd][t] or at >= tb:
+                continue
+            if st.update(rnd, t, at, at, ("transfer", int(s), cb, at, dur)):
+                st.marked[rnd][t] = True
+    for s in current_marks:
+        st.marked[rnd][s] = True
+
+
+class Journey:
+    def __init__(self, legs, departure_time, arrival_time, transfers_count):
+        self.legs = legs                      # list of leg dicts
+        self.departure_time = departure_time
+        self.arrival_time = arrival_time
+        self.transfers_count = transfers_count
+
+
+def backtrack_raw_legs(st: TracedState, source: int, target: int, start_round: int):
+    """Transit/transfer legs, source→target order (backtrack_raw_legs)."""
+    legs = []
+    stop, rnd = target, start_round
+    while stop != source:
+        if rnd < 0 or rnd >= len(st.arr):
+            raise ValueError("invalid journey")
+        pred = st.preds[rnd][stop]
+        if pred is None or pred[0] == "source":
+            raise ValueError("invalid journey")
         if pred[0] == "transit":
-            _, from_stop, route, trip, dep, a = pred
-            legs.append(("transit", from_stop, stop, dep, a, route, trip))
+            _, from_stop, route, trip, dep, arr = pred
+            if st.arr[rnd][stop] != arr or rnd == 0:
+                raise ValueError("invalid journey")
+            legs.append({
+                "kind": "transit", "from_stop": from_stop, "to_stop": stop,
+                "depart": dep, "arrive": arr, "route_idx": route, "trip_pos": trip,
+            })
             stop = from_stop
             rnd -= 1
-        else:  # transfer
-            _, from_stop, dep, a = pred
-            legs.append(("transfer", from_stop, stop, dep, a, -1, -1))
+        else:
+            _, from_stop, dep, arr, dur = pred
+            if st.arr[rnd][stop] != arr:
+                raise ValueError("invalid journey")
+            legs.append({
+                "kind": "transfer", "from_stop": from_stop, "to_stop": stop,
+                "depart": dep, "arrive": arr, "route_idx": -1, "trip_pos": -1,
+                "duration": dur,
+            })
             stop = from_stop
-            # transfers stay within the round
-        if stop == -1:
-            break
+    if st.preds[0][source] is None or st.preds[0][source][0] != "source":
+        raise ValueError("invalid journey")
     legs.reverse()
-    return int(best[target]), legs
+    return legs
+
+
+def normalize_legs(raw_legs: list[dict]) -> list[dict]:
+    """Hide zero-duration transfers; insert waiting before transit
+    boarding (normalize_legs, exact)."""
+    if not raw_legs:
+        return []
+    result = []
+    prev = raw_legs[0]
+    for nxt in raw_legs[1:]:
+        prev_to, prev_arr = prev["to_stop"], prev["arrive"]
+        next_from, next_dep = nxt["from_stop"], nxt["depart"]
+        if prev_to != next_from or next_dep < prev_arr:
+            raise ValueError("invalid journey")
+        if not (prev["kind"] == "transfer" and prev.get("duration") == 0):
+            result.append(prev)
+        if nxt["kind"] == "transit" and next_dep > prev_arr:
+            result.append({
+                "kind": "wait", "from_stop": prev_to, "to_stop": prev_to,
+                "depart": prev_arr, "arrive": next_dep, "route_idx": -1,
+                "trip_pos": -1,
+            })
+        prev = nxt
+    if not (prev["kind"] == "transfer" and prev.get("duration") == 0):
+        result.append(prev)
+    return result
+
+
+def _reconstruct(tt: Timetable, st: TracedState, source: int, target: int,
+                 departure: int) -> Journey:
+    best_round = st.best_round_for(target)
+    if best_round is None:
+        raise ValueError("invalid journey")
+    raw = backtrack_raw_legs(st, source, target, best_round)
+    legs = normalize_legs(raw)
+    transfers_count = sum(1 for leg in legs if leg["kind"] == "transfer")
+    return Journey(
+        legs,
+        departure_time=int(st.board[0][source]),
+        arrival_time=int(st.best[target]),
+        transfers_count=transfers_count,
+    )
 
 
 def detailed_journeys(
@@ -186,7 +280,7 @@ def detailed_journeys(
     departure: int,
     max_transfers: int,
 ) -> DataFrame:
-    """(pair_id legs...) for each OD pair (traced_multimodal_routing)."""
+    """Legs table per OD pair (traced_multimodal_routing, capped 1×1)."""
     o_nodes = origin_tables["point_nodes"].select(
         F.col("point_id").alias("origin_id"), F.col("node_id").alias("o_node"),
         F.col("snap_secs").alias("o_snap"), F.col("max_walking_time").alias("o_mwt"),
@@ -220,33 +314,36 @@ def detailed_journeys(
                 has = (r.a_stop is not None and not pd.isna(r.a_stop)
                        and r.e_stop is not None and not pd.isna(r.e_stop))
                 best_total = None
-                transit_legs = None
+                best = None
                 if has:
                     a_stop, a_secs = int(r.a_stop), int(r.a_secs)
                     e_stop, e_secs = int(r.e_stop), int(r.e_secs)
                     bound = walking if walking is not None else None
                     if bound is None or a_secs + e_secs < bound:
-                        arr_t, legs = raptor_traced(
+                        j = traced_raptor(
                             tt_, a_stop, departure + a_secs, max_transfers, e_stop
                         )
-                        if arr_t is not None:
-                            total = a_secs + (arr_t - departure - a_secs) + e_secs
-                            best_total = total
-                            transit_legs = (a_stop, a_secs, e_stop, e_secs, arr_t, legs)
+                        if j is not None:
+                            transit_time = j.arrival_time - j.departure_time
+                            best_total = a_secs + transit_time + e_secs
+                            best = (a_stop, a_secs, e_stop, e_secs, j)
                 if walking is not None and (best_total is None or walking <= best_total):
                     out.append((pid, 0, "walk", -1, -1, departure,
                                 departure + walking, -1, -1))
-                elif transit_legs is not None:
-                    a_stop, a_secs, e_stop, e_secs, arr_t, legs = transit_legs
+                elif best is not None:
+                    a_stop, a_secs, e_stop, e_secs, j = best
                     idx = 0
                     out.append((pid, idx, "walk", -1, a_stop, departure,
                                 departure + a_secs, -1, -1))
                     idx += 1
-                    for kind, fs, ts, dep, a, route, trip in legs:
-                        out.append((pid, idx, kind, fs, ts, dep, a, route, trip))
+                    for leg in j.legs:
+                        out.append((
+                            pid, idx, leg["kind"], leg["from_stop"], leg["to_stop"],
+                            leg["depart"], leg["arrive"], leg["route_idx"], leg["trip_pos"],
+                        ))
                         idx += 1
-                    out.append((pid, idx, "walk", e_stop, -1, arr_t, arr_t + e_secs,
-                                -1, -1))
+                    out.append((pid, idx, "walk", e_stop, -1, j.arrival_time,
+                                j.arrival_time + e_secs, -1, -1))
             yield pd.DataFrame(out, columns=[f.name for f in LEG_SCHEMA.fields])
 
     parts = max(1, min(rows.count(), spark.sparkContext.defaultParallelism * 2))
