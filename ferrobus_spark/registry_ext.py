@@ -326,6 +326,27 @@ def q_revenue_by_nation(spark, sf_dir):
 
 
 @register(
+    "customers_without_big_orders",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (
+      SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) > 3
+    )
+    """,
+)
+def q_customers_without_big_orders(spark, sf_dir):
+    """Anti-join against an aggregated subquery (reference F3's
+    exception-removal shape: union + anti-join semantics)."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    frequent = (
+        o.groupBy("o_custkey").count().filter(F.col("count") > 3)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return c.join(frequent, "c_custkey", "left_anti").select("c_custkey")
+
+
+@register(
     "events_sessionize",
     """
     SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events FROM (

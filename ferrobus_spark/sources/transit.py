@@ -24,7 +24,6 @@ from __future__ import annotations
 
 from functools import lru_cache
 
-import numpy as np
 import pandas as pd
 
 from ferrobus_spark.hexgrid import haversine_m
