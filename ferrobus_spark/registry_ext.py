@@ -414,34 +414,42 @@ def _transit_ctx(spark):
     return _MODEL_CACHE[key]
 
 
+_POINTS_CACHE: dict[int, object] = {}
+
+
+def _transit_points(spark):
+    """Shared TransitPoint tables (checkpointed) across transit queries."""
+    key = id(spark)
+    if key not in _POINTS_CACHE:
+        from ferrobus_spark.routing.points import build_point_tables
+        from ferrobus_spark.sources.transit import query_points
+
+        model, _tt = _transit_ctx(spark)
+        pts = build_point_tables(
+            spark, spark.createDataFrame(query_points()),
+            model["street_nodes"], model["node_to_stop"], model.csr,
+        )
+        pts = {k: v.localCheckpoint() for k, v in pts.items()}
+        _POINTS_CACHE[key] = pts
+    return _POINTS_CACHE[key]
+
+
 @register("transit_travel_time_matrix")
 def q_transit_matrix(spark, sf_dir):
-    import pandas as pd
-
     from ferrobus_spark.routing import products
-    from ferrobus_spark.routing.points import build_point_tables
-    from ferrobus_spark.sources.transit import query_points
 
     model, tt = _transit_ctx(spark)
-    pts = build_point_tables(
-        spark, spark.createDataFrame(query_points()),
-        model["street_nodes"], model["node_to_stop"], model.csr,
-    )
+    pts = _transit_points(spark)
     return products.travel_time_matrix(spark, tt, model.csr, pts, 8 * 3600, 3)
 
 
 @register("transit_range_pareto")
 def q_transit_range_pareto(spark, sf_dir):
     """Range routing journeys + exact Pareto flags over the fixture."""
-    from ferrobus_spark.routing.points import build_point_tables
     from ferrobus_spark.routing.range import range_routing
-    from ferrobus_spark.sources.transit import query_points
 
     model, tt = _transit_ctx(spark)
-    pts = build_point_tables(
-        spark, spark.createDataFrame(query_points()),
-        model["street_nodes"], model["node_to_stop"], model.csr,
-    )
+    pts = _transit_points(spark)
     od = spark.createDataFrame(
         [(0, 0, 5), (1, 2, 8), (2, 1, 11)], "pair_id LONG, origin_id LONG, dest_id LONG"
     )
@@ -453,15 +461,10 @@ def q_transit_range_pareto(spark, sf_dir):
 @register("transit_detailed_journeys")
 def q_transit_detailed_journeys(spark, sf_dir):
     """Traced journey legs (walk/transit/transfer chain) per OD pair."""
-    from ferrobus_spark.routing.points import build_point_tables
     from ferrobus_spark.routing.traced import detailed_journeys
-    from ferrobus_spark.sources.transit import query_points
 
     model, tt = _transit_ctx(spark)
-    pts = build_point_tables(
-        spark, spark.createDataFrame(query_points()),
-        model["street_nodes"], model["node_to_stop"], model.csr,
-    )
+    pts = _transit_points(spark)
     od = spark.createDataFrame(
         [(0, 0, 5), (1, 2, 8), (2, 4, 9)], "pair_id LONG, origin_id LONG, dest_id LONG"
     )
