@@ -149,6 +149,97 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    spark: SparkSession,
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    n_probe: int = 4,
+    exclude_self: bool = True,
+    seed: int = 20240503,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer →
+    corpus partitioned by nearest centroid (the inverted lists) → each
+    query probes its ``n_probe`` nearest centroids and exact-reranks
+    only those lists.
+
+    The scale shape: centroids are a tiny broadcast model; the
+    candidate join is an equi-join on ``list_id`` — corpus stays
+    distributed (unlike brute force) and each query touches
+    n_probe/n_lists of it. Uses Spark MLlib's KMeans for training
+    (deterministic seed).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    train = corpus.select(
+        id_col, array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
+    centroids = np.stack([
+        c.toArray() if hasattr(c, "toArray") else np.asarray(c)
+        for c in model.clusterCenters()
+    ])
+    cn = _normalize(centroids)
+    bc = spark.sparkContext.broadcast(cn)
+
+    def assign(n_nearest: int):
+        out_t = T.StructType([
+            T.StructField("id", T.LongType()),
+            T.StructField("vec", T.ArrayType(T.DoubleType())),
+            T.StructField("list_id", T.IntegerType()),
+        ])
+
+        def kernel(batches):
+            cents = bc.value
+            for pdf in batches:
+                mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+                ids = pdf[id_col].to_numpy(np.int64)
+                sims = mat @ cents.T  # (n, n_lists)
+                order = np.argsort(-sims, axis=1)[:, :n_nearest]
+                rows = {"id": [], "vec": [], "list_id": []}
+                for i in range(len(ids)):
+                    v = mat[i].tolist()
+                    for c in order[i]:
+                        rows["id"].append(int(ids[i]))
+                        rows["vec"].append(v)
+                        rows["list_id"].append(int(c))
+                yield pd.DataFrame(rows)
+
+        return kernel, out_t
+
+    ck, ct = assign(1)       # corpus rows live in exactly one list
+    qk, qt = assign(n_probe)  # queries probe several lists
+    cb = corpus.select(id_col, vec_col).mapInPandas(ck, ct)
+    qb = queries.select(id_col, vec_col).mapInPandas(qk, qt)
+
+    dot = F.aggregate(
+        F.zip_with("qvec", "cvec", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    cand = (
+        qb.select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "list_id")
+        .join(
+            cb.select(F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec"), "list_id"),
+            "list_id",
+        )
+        .drop("list_id")
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    cand = cand.withColumn("cosine", dot).drop("qvec", "cvec")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_neardup_pairs(
     spark: SparkSession,
     df: DataFrame,

@@ -215,6 +215,16 @@ def q_knn_embeddings_lsh(spark, sf_dir):
     )
 
 
+@register("knn_embeddings_ivf")  # rows-only: approximate; recall pytest-scored
+def q_knn_embeddings_ivf(spark, sf_dir):
+    from ferrobus_spark.operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return ivf_topk(spark, emb, emb, k=3, n_lists=16, n_probe=8).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
 @register("embedding_neardup_pairs")  # rows-only
 def q_embedding_neardup(spark, sf_dir):
     from ferrobus_spark.operators.similarity import cosine_neardup_pairs

@@ -39,6 +39,21 @@ def test_lsh_topk_recall(spark, embeddings):
     assert recall >= 0.7, f"LSH 1-NN recall too low: {recall:.2f}"
 
 
+def test_ivf_topk_recall(spark, embeddings):
+    from ferrobus_spark.operators.similarity import ivf_topk
+
+    exact = brute_force_topk(spark, embeddings, embeddings, k=1).toPandas()
+    approx = ivf_topk(spark, embeddings, embeddings, k=1,
+                      n_lists=16, n_probe=8).toPandas()
+    e1 = dict(zip(exact["query_id"], exact["neighbor_id"]))
+    a1 = dict(zip(approx["query_id"], approx["neighbor_id"]))
+    hits = sum(1 for q, n in e1.items() if a1.get(q) == n)
+    recall = hits / len(e1)
+    assert recall >= 0.8, f"IVF 1-NN recall too low: {recall:.2f}"
+    # every query must get k results (no empty probe sets)
+    assert len(a1) == len(e1)
+
+
 def test_streaming_windowed_counts(spark, sf_dir, tmp_path):
     import shutil
 
