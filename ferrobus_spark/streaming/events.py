@@ -63,14 +63,57 @@ def session_windows(events: DataFrame, gap: str = "30 minutes",
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> list:
+def stateful_first_seen(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: first event per user, exactly once.
+
+    ``applyInPandasWithState``: per-user state records whether the user
+    has been emitted; later events (across micro-batches) are dropped.
+    The streaming building block for streaming dedup / new-entity
+    detection over the pages firehose.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id BIGINT, first_ts TIMESTAMP, first_event_id BIGINT"
+    state_schema = "seen BOOLEAN"
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists and state.get[0]:
+            for _ in pdf_iter:
+                pass
+            return
+        best = None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            head = pdf.iloc[0]
+            if best is None or (head["ts"], head["event_id"]) < (best["ts"], best["event_id"]):
+                best = head
+        if best is not None:
+            state.update((True,))
+            yield pd.DataFrame({
+                "user_id": [key[0]],
+                "first_ts": [best["ts"]],
+                "first_event_id": [int(best["event_id"])],
+            })
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> list:
     """Drain a file stream with the availableNow trigger into memory;
     returns the collected rows (test/bench harness helper)."""
     session = stream_df.sparkSession
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete" if stream_df.isStreaming else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

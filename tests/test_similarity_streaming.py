@@ -84,6 +84,35 @@ def test_streaming_windowed_counts(spark, sf_dir, tmp_path):
     assert got == want
 
 
+def test_stateful_first_seen(spark, sf_dir, tmp_path):
+    import shutil
+
+    from ferrobus_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+        stateful_first_seen,
+    )
+
+    src = tmp_path / "events_stream3"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-0.parquet")
+    rows = run_available_now(
+        stateful_first_seen(read_events_stream(spark, str(src))),
+        "first_seen_t",
+        output_mode="append",
+    )
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    exp = (
+        batch.sort_values(["ts", "event_id"])
+        .groupby("user_id", as_index=False)
+        .first()
+    )
+    got = {r.user_id: (r.first_ts, r.first_event_id) for r in rows}
+    assert len(got) == len(exp)
+    for r in exp.itertuples(index=False):
+        assert got[r.user_id] == (r.ts, r.event_id), r.user_id
+
+
 def test_streaming_session_windows(spark, sf_dir, tmp_path):
     import shutil
 
