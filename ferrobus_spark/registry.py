@@ -222,7 +222,9 @@ def q_dedup_exact(spark, sf_dir):
 
 @register(
     "lang_histogram",
-    "SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars "
+    # CAST: DuckDB SUM(int) yields HUGEINT -> float64 in the compare frame;
+    # Spark sum(int) is int64.  Cast so the driver's value-hash matches.
+    "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
     "FROM documents GROUP BY lang",
 )
 def q_lang_histogram(spark, sf_dir):

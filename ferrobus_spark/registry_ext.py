@@ -359,7 +359,8 @@ def q_customers_without_big_orders(spark, sf_dir):
 @register(
     "events_sessionize",
     """
-    SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events FROM (
+    SELECT user_id, COUNT(*) AS n_sessions,
+           CAST(SUM(n_events) AS BIGINT) AS n_events FROM (
       SELECT user_id, session_id, COUNT(*) AS n_events
       FROM (
         SELECT user_id,

@@ -55,6 +55,16 @@ def test_query_matches_oracle(spark, con, name):
         f"column mismatch: {list(got.columns)} vs {list(exp.columns)}"
     )
     assert len(got) == len(exp), f"row count {len(got)} vs {len(exp)}"
+    # dtype-strict: the driver hashes raw values, so int64 vs float64 (e.g.
+    # DuckDB HUGEINT SUM results) must fail here too, not just values.
+    for c in got.columns:
+        gk, ek = got[c].dtype.kind, exp[c].dtype.kind
+        gk = "i" if gk == "u" else gk
+        ek = "i" if ek == "u" else ek
+        assert gk == ek, (
+            f"dtype mismatch col {c}: spark {got[c].dtype} vs oracle {exp[c].dtype}"
+            " — add CAST(... AS BIGINT/DOUBLE) to the oracle SQL"
+        )
     for c in got.columns:
         ga, ea = got[c].tolist(), exp[c].tolist()
         bad = [
