@@ -1,74 +1,121 @@
 """Driver-side iterative DataFrame loops (fixpoint algorithms).
 
 Spark has no native iteration; these helpers run driver loops with
-per-round ``localCheckpoint()`` to truncate lineage (SURVEY.md §4 —
-the only "custom" execution machinery the engine needs; no Catalyst
-rules). Used for connected components (reference osm/processor.rs:101-114)
-and the iterative-join RAPTOR/Bellman-Ford variants.
+per-round materialization to truncate lineage (SURVEY.md §4 — the only
+"custom" execution machinery the engine needs; no Catalyst rules).
+
+Materialization is a parquet round-trip, NOT ``localCheckpoint``:
+``localCheckpoint`` preserves the *estimated* statistics of the plan it
+replaced, so in a loop the size-in-bytes estimate compounds
+multiplicatively per round (three joins → cubed per iteration) until
+Catalyst is multiplying million-digit BigIntegers — measured here as
+exponentially growing per-iteration wall time and an eventual driver
+OOM. A parquet (production: Iceberg) round-trip resets stats to real
+file sizes, keeps broadcast decisions sane, and doubles as the
+resume-from-checkpoint contract of ``plans/checkpoint.py``.
+
+Connected components is the two-phase **large-star / small-star**
+alternation (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC 2014): O(log² n) rounds guaranteed regardless of graph
+diameter, each round two groupBy-join passes over the edge list. The
+earlier min-label + pointer-doubling propagation needed O(diameter)-ish
+rounds on real street networks (still unconverged at 17 rounds on a 7k
+node city graph); large/small-star converges in ~5 rounds on the same
+input.
 """
 
 from __future__ import annotations
+
+import os
+import tempfile
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def materialize(df: DataFrame) -> DataFrame:
+    """Parquet round-trip: truncate lineage AND reset stats to real sizes.
+
+    Directory: ``spark.ferrobus.ckpt.dir`` conf if set (shared storage on
+    a cluster), else the local temp dir (fine for local[*]).
+    """
+    spark = df.sparkSession
+    try:
+        root = spark.conf.get("spark.ferrobus.ckpt.dir")
+    except Exception:
+        root = None
+    root = root or os.path.join(tempfile.gettempdir(), "ferrobus_ckpt")
+    path = os.path.join(root, f"iter_{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
 ) -> DataFrame:
-    """Min-label propagation to fixpoint → (node, component) DataFrame.
+    """Large-star/small-star alternation → (node, component) DataFrame.
 
-    ``edges`` must be symmetric (both directions present). Isolated
+    ``component`` is the minimum node id of the component (matches the
+    reference's petgraph component semantics after min-relabel). Isolated
     nodes absent from ``edges`` won't appear — union them separately.
-    Scale note: label propagation is O(diameter) shuffles; for a street
-    grid that's large, but each round is a single hash join on (node),
-    AQE-coalesced, and lineage is truncated per round.
+    Scale: each round is two aggregate+join passes over the edge list,
+    shuffling on node id; rounds are O(log² n) worst-case, ~5 in practice.
     """
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+    E = (
+        edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
-    sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    E = materialize(E)
+    all_nodes = materialize(
+        E.select(F.col("u").alias("node"))
+        .union(E.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    if E.limit(1).count() == 0:
+        return all_nodes.withColumn("component", F.col("node"))
+
     for _ in range(max_iter):
-        # 1) neighbor-min: candidate = min over neighbors' labels
-        nbr_min = (
-            sym.join(labels, sym.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("component").alias("nbr_component"))
+        # ---- large-star: connect every strictly-larger neighbor of u to
+        # the minimum of u's closed neighborhood --------------------------
+        nbr = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = nbr.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            nbr.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
         )
-        stepped = labels.join(nbr_min, labels.node == nbr_min.a, "left").select(
-            "node",
-            F.least(
-                F.col("component"), F.coalesce("nbr_component", F.col("component"))
-            ).alias("component"),
+        # ---- small-star: direct edges large→small; connect u and all its
+        # smaller neighbors to the minimum among them ----------------------
+        dir_e = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
-        # 2) pointer doubling: comp := comp[comp] — labels are node ids, so
-        # chase one hop through the label table (O(log diameter) rounds
-        # instead of O(diameter) pure propagation)
-        ptr = stepped.select(
-            F.col("node").alias("pnode"), F.col("component").alias("pcomp")
+        mins2 = dir_e.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            dir_e.join(mins2, "u")
+            .select(F.col("v").alias("n"), "m")
+            .union(mins2.select(F.col("u").alias("n"), "m"))
+            .filter(F.col("n") != F.col("m"))
+            .select(F.col("n").alias("u"), F.col("m").alias("v"))
+            .distinct()
         )
-        jumped = (
-            stepped.join(ptr, stepped.component == ptr.pnode, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("pcomp", F.col("component"))
-                ).alias("component"),
-            )
-        )
+        new_E = materialize(small)
         changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+            new_E.exceptAll(E).limit(1).count() + E.exceptAll(new_E).limit(1).count()
         )
-        labels = jumped.localCheckpoint()
+        E = new_E
         if changed == 0:
             break
+
+    # fixpoint E is a star forest: (child, root) with root = component min
+    labels = all_nodes.join(
+        E.select(F.col("u").alias("node"), F.col("v").alias("component")),
+        "node",
+        "left",
+    ).select("node", F.coalesce("component", F.col("node")).alias("component"))
     return labels
 
 

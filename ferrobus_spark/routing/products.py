@@ -138,6 +138,91 @@ def one_to_many(
     return origins.repartition(parts).mapInPandas(kernel, RESULT_SCHEMA)
 
 
+def route_pairs(
+    spark: SparkSession,
+    tt: Timetable,
+    csr: CSRGraph,
+    origin_tables: dict[str, DataFrame],
+    dest_tables: dict[str, DataFrame],
+    pairs: list[tuple[int, int]],
+    departure: int,
+    max_transfers: int,
+) -> DataFrame:
+    """The reference's ``find_route`` product (multimodal_routing.rs:70-141).
+
+    Unlike one_to_many (all egress candidates scanned), find_route takes
+    the SINGLE rank-1 access stop × SINGLE rank-1 egress stop
+    (``take(MAX_CANDIDATE_STOPS)`` on both sides, lib.rs:14) and runs the
+    target-pruned single-target RAPTOR — whose pruning semantics make its
+    arrival differ from the all-targets scan (the reference's own
+    find_route vs one-to-many goldens differ on the same OD pair: 1566
+    vs 1524 on the zhelez fixture). Walking tie goes to walking.
+    """
+    dests = _collect_dests(dest_tables)
+    dmap = {pid: (node, stops) for pid, node, stops in dests}
+    bc = spark.sparkContext.broadcast((tt, csr, dmap, pairs))
+
+    origins = origin_tables["point_nodes"].join(
+        origin_tables["point_stops"].filter(F.col("rank") == 1)
+        .select("point_id", "stop_idx", "access_secs"),
+        "point_id",
+        "left",
+    ).withColumn("departure", F.lit(int(departure)))
+
+    def kernel(batches):
+        tt_, csr_, dmap_, pairs_ = bc.value
+        want: dict[int, list[int]] = {}
+        for o, d in pairs_:
+            want.setdefault(int(o), []).append(int(d))
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                origin_id = int(row.point_id)
+                if origin_id not in want:
+                    continue
+                dep = int(row.departure)
+                node = int(row.node_id)
+                snap = int(row.snap_secs)
+                mwt = int(getattr(row, "max_walking_time", 1200))
+                dense = int(csr_.dense_of([node])[0])
+                walk = bounded_dijkstra(csr_, dense, max_cost=mwt - snap)
+                walk_ext = {int(csr_.node_ids[k]): v for k, v in walk.items()}
+                has_access = row.stop_idx is not None and not pd.isna(row.stop_idx)
+                for dest_id in want[origin_id]:
+                    dnode, egress = dmap_[dest_id]
+                    walking = walk_ext.get(dnode)
+                    cand = None
+                    if has_access and egress:
+                        a_stop, a_secs = int(row.stop_idx), int(row.access_secs)
+                        e_secs, e_stop = egress[0]  # take(1): rank-1 only
+                        skip = (
+                            (walking is not None and a_secs + e_secs >= walking)
+                        )
+                        if not skip:
+                            best, best_k = raptor(
+                                tt_, a_stop, dep + a_secs, max_transfers, target=e_stop
+                            )
+                            arr = best[e_stop]
+                            if arr != INF:
+                                transit = int(arr) - (dep + a_secs)
+                                cand = (a_secs + transit + e_secs, transit, int(best_k[e_stop]))
+                    if cand is not None and not (walking is not None and walking <= cand[0]):
+                        total, transit, k = cand
+                        out.append((origin_id, dep, dest_id, total, transit, total - transit, k))
+                    elif walking is not None:
+                        out.append((origin_id, dep, dest_id, walking, None, walking, 0))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "origin_id", "departure", "dest_id", "travel_time",
+                    "transit_time", "walking_time", "transfers",
+                ],
+            )
+
+    parts = max(1, min(origins.count(), spark.sparkContext.defaultParallelism))
+    return origins.repartition(parts).mapInPandas(kernel, RESULT_SCHEMA)
+
+
 def travel_time_matrix(
     spark, tt, csr, point_tables, departure, max_transfers
 ) -> DataFrame:

@@ -136,16 +136,23 @@ def build_street_graph(nodes: pd.DataFrame, edges: pd.DataFrame):
 
 
 def nearest_node(node_pos: dict, lon: float, lat: float):
-    """1-NN + ceil(haversine/1.4) snap cost (streets/network.rs:31-37)."""
+    """1-NN + ceil(haversine/1.4) snap cost (streets/network.rs:31-37).
+
+    Nearest is EUCLIDEAN IN DEGREE SPACE — the reference's rstar R-tree
+    indexes raw lon/lat Point<f64>s — while the returned cost is
+    haversine meters / 1.4 (ceil). The two metrics pick different nodes
+    at high latitude; the reference goldens require the degree metric.
+    """
     best = None
     for nid, (nlon, nlat) in node_pos.items():
-        d = haversine(lon, lat, nlon, nlat)
-        key = (d, nid)
+        d2 = (lon - nlon) ** 2 + (lat - nlat) ** 2
+        key = (d2, nid)
         if best is None or key < best[0]:
-            best = (key, nid, d)
+            best = (key, nid)
     if best is None:
         return None
-    return best[1], int(math.ceil(best[2] / WALK_SPEED))
+    nlon, nlat = node_pos[best[1]]
+    return best[1], int(math.ceil(haversine(lon, lat, nlon, nlat) / WALK_SPEED))
 
 
 def dijkstra(adj: dict, start: int, max_cost: float | None = None, target: int | None = None):
