@@ -313,7 +313,9 @@ def cells_to_wkt(cells) -> str:
                 my_holes.append(h)
         parts = [fmt_ring(outer)] + [fmt_ring(h) for h in my_holes]
         polys.append("(" + ", ".join(parts) + ")")
-    return "MULTIPOLYGON (" + ", ".join(polys) + ")"
+    # no space after MULTIPOLYGON: matches the reference's wkt-crate
+    # emit (tests/python/test.py:38 asserts the exact prefix)
+    return "MULTIPOLYGON(" + ", ".join(polys) + ")"
 
 
 def haversine_m(lon1, lat1, lon2, lat2):

@@ -190,7 +190,14 @@ def minhash_lsh_pairs(
 
 
 def simhash_col(df: DataFrame, id_col="doc_id", text_col="text", shingle: int = 4) -> DataFrame:
-    """(id, simhash long) — 64-bit SimHash over shingle hashes."""
+    """(id, simhash long) — 64-bit SimHash over distinct shingle hashes.
+
+    Batch-vectorized like minhash_signatures: one flat rolling-hash pass
+    over the whole Arrow batch, per-doc DISTINCT shingles via a single
+    lexsort + first-occurrence mask, and bit votes via 64
+    ``np.add.reduceat`` passes over doc segments — no per-document Python
+    loop body.
+    """
     out_t = T.StructType([
         T.StructField("id", T.LongType()),
         T.StructField("simhash", T.LongType()),
@@ -199,19 +206,32 @@ def simhash_col(df: DataFrame, id_col="doc_id", text_col="text", shingle: int = 
     def kernel(batches):
         bit_idx = np.arange(64, dtype=np.uint64)
         for pdf in batches:
-            ids, hs = [], []
-            for i, txt in zip(pdf[id_col], pdf[text_col]):
-                sh = _shingle_hashes(txt or "", shingle)
-                # spread each shingle hash to 64 bits via multiply-xor mix
-                mixed = sh[:, None] * np.uint64(_A) >> bit_idx[None, :]
-                votes = (mixed & np.uint64(1)).astype(np.int64)
-                bits = (votes.sum(axis=0) * 2 > len(sh)).astype(np.uint64)
-                val = np.uint64(0)
-                for bi in range(64):
-                    val |= bits[bi] << np.uint64(bi)
-                ids.append(int(i))
-                hs.append(int(val.astype(np.int64)))
-            yield pd.DataFrame({"id": ids, "simhash": hs})
+            ids = pdf[id_col].to_numpy(np.int64)
+            if len(ids) == 0:
+                yield pd.DataFrame({"id": pd.Series(dtype="int64"),
+                                    "simhash": pd.Series(dtype="int64")})
+                continue
+            flat, starts = _batch_shingle_hashes(list(pdf[text_col]), shingle)
+            nwin = np.diff(starts)
+            doc_idx = np.repeat(np.arange(len(ids)), nwin)
+            # per-doc unique shingles: sort by (doc, hash), keep firsts
+            order = np.lexsort((flat, doc_idx))
+            sh = flat[order]
+            di = doc_idx[order]
+            first = np.ones(len(sh), bool)
+            first[1:] = (di[1:] != di[:-1]) | (sh[1:] != sh[:-1])
+            sh = sh[first]
+            di = di[first]
+            u_counts = np.bincount(di, minlength=len(ids))
+            u_starts = np.concatenate([[0], np.cumsum(u_counts)[:-1]])
+            mixed = sh * np.uint64(_A)
+            votes = np.empty((len(ids), 64), np.int64)
+            for b in range(64):
+                bits_b = ((mixed >> bit_idx[b]) & np.uint64(1)).astype(np.int64)
+                votes[:, b] = np.add.reduceat(bits_b, u_starts)
+            bits = (votes * 2 > u_counts[:, None]).astype(np.uint64)
+            vals = (bits << bit_idx[None, :]).sum(axis=1, dtype=np.uint64)
+            yield pd.DataFrame({"id": ids, "simhash": vals.astype(np.int64)})
 
     return df.select(id_col, text_col).mapInPandas(kernel, out_t)
 

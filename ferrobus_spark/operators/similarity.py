@@ -81,10 +81,16 @@ def _hyperplanes(dim: int, n_bits: int) -> np.ndarray:
 
 def _sign_buckets(df: DataFrame, planes: np.ndarray, id_col: str, vec_col: str,
                   n_tables: int, bits_per_table: int, spark: SparkSession) -> DataFrame:
+    """(id, table, bucket) rows — ids ONLY, never the embeddings.
+
+    The bucket join and candidate dedup run on these narrow rows; vectors
+    are joined back exactly once after dedup (see lsh_topk). Shuffling the
+    embedding arrays ×n_tables through the bucket join and hash-distincting
+    rows containing float arrays was the plan's 100 TB scale-killer.
+    """
     bc = spark.sparkContext.broadcast(planes)
     out_t = T.StructType([
         T.StructField("id", T.LongType()),
-        T.StructField("vec", T.ArrayType(T.DoubleType())),
         T.StructField("table", T.IntegerType()),
         T.StructField("bucket", T.LongType()),
     ])
@@ -95,18 +101,30 @@ def _sign_buckets(df: DataFrame, planes: np.ndarray, id_col: str, vec_col: str,
             mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
             ids = pdf[id_col].to_numpy(np.int64)
             signs = (mat @ pl.T) >= 0  # (n, n_bits)
-            rows = {"id": [], "vec": [], "table": [], "bucket": []}
+            rows = {"id": [], "table": [], "bucket": []}
             pw = (1 << np.arange(bits_per_table, dtype=np.int64))
             for t in range(n_tables):
                 chunk = signs[:, t * bits_per_table : (t + 1) * bits_per_table]
                 buckets = (chunk.astype(np.int64) * pw).sum(axis=1)
                 rows["id"] += ids.tolist()
-                rows["vec"] += [v.tolist() for v in mat]
                 rows["table"] += [t] * len(ids)
                 rows["bucket"] += buckets.tolist()
             yield pd.DataFrame(rows)
 
     return df.select(id_col, vec_col).mapInPandas(kernel, out_t)
+
+
+def _with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
+    """(id, vec, norm) — norm precomputed once per vector, JVM-side."""
+    vec_d = F.transform(vec_col, lambda v: v.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(vec_d, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return df.select(
+        F.col(id_col).alias(f"{prefix}_id"),
+        vec_d.alias(f"{prefix}vec"),
+        F.when(norm == 0, F.lit(1.0)).otherwise(norm).alias(f"{prefix}norm"),
+    )
 
 
 def lsh_topk(
@@ -125,22 +143,35 @@ def lsh_topk(
     planes = _hyperplanes(dim, n_tables * bits_per_table)
     qb = _sign_buckets(queries, planes, id_col, vec_col, n_tables, bits_per_table, spark)
     cb = _sign_buckets(corpus, planes, id_col, vec_col, n_tables, bits_per_table, spark)
+    # candidates on BARE ids: equi-join buckets, dedup the (query, neighbor)
+    # pairs while rows are 16 bytes wide, THEN join the two vector tables
+    # back exactly once for the re-rank (same plan shape as the minhash
+    # path, dedup.py banding).
+    cand = (
+        qb.select(F.col("id").alias("query_id"), "table", "bucket")
+        .join(
+            cb.select(F.col("id").alias("neighbor_id"), "table", "bucket"),
+            ["table", "bucket"],
+        )
+        .select("query_id", "neighbor_id")
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    cand = cand.distinct()
+
+    qv = _with_norm(queries, id_col, vec_col, "q")
+    cv = _with_norm(corpus, id_col, vec_col, "c")
     dot = F.aggregate(
         F.zip_with("qvec", "cvec", lambda a, b: a * b),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
     cand = (
-        qb.select(F.col("id").alias("query_id"), F.col("vec").alias("qvec"), "table", "bucket")
-        .join(
-            cb.select(F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec"), "table", "bucket"),
-            ["table", "bucket"],
-        )
-        .select("query_id", "neighbor_id", "qvec", "cvec")
+        cand.join(qv, cand.query_id == qv.q_id)
+        .join(cv, cand.neighbor_id == cv.c_id)
+        .withColumn("cosine", dot / (F.col("qnorm") * F.col("cnorm")))
+        .select("query_id", "neighbor_id", "cosine")
     )
-    if exclude_self:
-        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
-    cand = cand.distinct().withColumn("cosine", dot).drop("qvec", "cvec")
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         cand.withColumn("rank", F.row_number().over(w))

@@ -20,8 +20,9 @@ Semantics replicated exactly:
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -57,6 +58,67 @@ def _collect_dests(point_tables: dict[str, DataFrame]) -> list:
     return [(pid, nodes[pid], stops[pid]) for pid in sorted(nodes)]
 
 
+LABEL_SCHEMA = T.StructType([
+    T.StructField("origin_id", T.LongType()),
+    T.StructField("departure", T.LongType()),
+    T.StructField("a_secs", T.LongType()),
+    T.StructField("stop_idx", T.LongType()),     # reached stop
+    T.StructField("arrival", T.LongType()),
+    T.StructField("k_transfers", T.LongType()),
+])
+
+
+def raptor_labels(
+    spark: SparkSession,
+    tt: Timetable,
+    origin_tables: dict[str, DataFrame],
+    departure: int | None,
+    max_transfers: int,
+) -> DataFrame:
+    """One all-targets RAPTOR per origin → (origin, stop, arrival) labels.
+
+    The kernel axis is origins (the reference's rayon loop, matrix.rs:40);
+    everything downstream of the labels is DataFrame algebra. Origins with
+    no access stop emit nothing (walking-only pairs are handled by the
+    point_walk join in one_to_many).
+    """
+    bc = spark.sparkContext.broadcast(tt)
+
+    origins = origin_tables["point_nodes"].join(
+        origin_tables["point_stops"].filter(F.col("rank") == 1)
+        .select("point_id", "stop_idx", "access_secs"),
+        "point_id",
+    )
+    if departure is not None:
+        origins = origins.withColumn("departure", F.lit(int(departure)))
+
+    def kernel(batches):
+        tt_ = bc.value
+        for pdf in batches:
+            outs = []
+            for row in pdf.itertuples(index=False):
+                dep = int(row.departure)
+                a_secs = int(row.access_secs)
+                best, best_k = raptor(
+                    tt_, int(row.stop_idx), dep + a_secs, max_transfers, target=None
+                )
+                hit = np.nonzero(best != INF)[0]
+                outs.append(pd.DataFrame({
+                    "origin_id": np.full(len(hit), int(row.point_id), np.int64),
+                    "departure": np.full(len(hit), dep, np.int64),
+                    "a_secs": np.full(len(hit), a_secs, np.int64),
+                    "stop_idx": hit.astype(np.int64),
+                    "arrival": best[hit].astype(np.int64),
+                    "k_transfers": best_k[hit].astype(np.int64),
+                }))
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {f.name: pd.Series(dtype="int64") for f in LABEL_SCHEMA.fields}
+            )
+
+    parts = max(1, min(origins.count(), spark.sparkContext.defaultParallelism * 2))
+    return origins.repartition(parts).mapInPandas(kernel, LABEL_SCHEMA)
+
+
 def one_to_many(
     spark: SparkSession,
     tt: Timetable,
@@ -71,71 +133,85 @@ def one_to_many(
     ``departure``: constant seconds-since-midnight, or None if the
     origins table carries a per-row ``departure`` column (used by
     percent-access sampling: same origin × many departures — one job).
-    """
-    dests = _collect_dests(dest_tables)
-    bc = spark.sparkContext.broadcast((tt, csr, dests))
 
-    origins = origin_tables["point_nodes"].join(
-        origin_tables["point_stops"].filter(F.col("rank") == 1)
-        .select("point_id", "stop_idx", "access_secs"),
-        "point_id",
-        "left",
+    Plan shape (the join regime — nothing is collected to the driver and
+    the origin walk maps are REUSED from point_walk, not recomputed):
+
+      1. labels   = one all-targets RAPTOR per origin (kernel);
+      2. walking  = origin point_walk ⋈ dest snap nodes on node_id
+                    (walking_time_to, transit_model.rs:250-252);
+      3. transit  = labels ⋈ dest point_stops on stop_idx; per-pair
+                    argmin by (total, egress rank) — the reference's
+                    rank-order "first strictly better wins" scan, whose
+                    a+e pruning rules are subsumed by the min since
+                    total ≥ a+e always;
+      4. walking ties beat transit (walking <= total,
+         multimodal_routing.rs:36).
+
+    ``csr`` is kept in the signature for API stability; the walk maps
+    come precomputed from ``origin_tables["point_walk"]``.
+    """
+    labels = raptor_labels(spark, tt, origin_tables, departure, max_transfers)
+
+    o_meta = origin_tables["point_nodes"].select(
+        F.col("point_id").alias("origin_id")
     )
     if departure is not None:
-        origins = origins.withColumn("departure", F.lit(int(departure)))
+        o_meta = o_meta.withColumn("departure", F.lit(int(departure)))
+    else:
+        o_meta = origin_tables["point_nodes"].select(
+            F.col("point_id").alias("origin_id"), "departure"
+        )
 
-    def kernel(batches):
-        tt_, csr_, dests_ = bc.value
-        for pdf in batches:
-            out = []
-            for row in pdf.itertuples(index=False):
-                origin_id = int(row.point_id)
-                dep = int(row.departure)
-                node = int(row.node_id)
-                snap = int(row.snap_secs)
-                mwt = int(getattr(row, "max_walking_time", 1200))
-                # walking map (recomputed: identical to point_walk rows)
-                dense = int(csr_.dense_of([node])[0])
-                walk = bounded_dijkstra(csr_, dense, max_cost=mwt - snap)
-                walk_ext = {int(csr_.node_ids[k]): v for k, v in walk.items()}
+    dest_nodes = dest_tables["point_nodes"].select(
+        F.col("point_id").alias("dest_id"), "node_id"
+    )
+    walking = (
+        o_meta.join(
+            origin_tables["point_walk"].withColumnRenamed("point_id", "origin_id"),
+            "origin_id",
+        )
+        .join(dest_nodes, "node_id")
+        .select("origin_id", "departure", "dest_id", F.col("walk_secs").alias("walking"))
+    )
 
-                has_access = row.stop_idx is not None and not pd.isna(row.stop_idx)
-                if has_access:
-                    a_stop = int(row.stop_idx)
-                    a_secs = int(row.access_secs)
-                    best, best_k = raptor(
-                        tt_, a_stop, dep + a_secs, max_transfers, target=None
-                    )
-                for dest_id, dnode, egress in dests_:
-                    walking = walk_ext.get(dnode)
-                    cand = None  # (total, transit, transfers)
-                    if has_access:
-                        for e_secs, e_stop in egress:
-                            if walking is not None and a_secs + e_secs >= walking:
-                                continue
-                            if cand is not None and a_secs + e_secs >= cand[0]:
-                                continue
-                            arr = best[e_stop]
-                            if arr != INF:
-                                transit = int(arr) - (dep + a_secs)
-                                total = a_secs + transit + e_secs
-                                if cand is None or total < cand[0]:
-                                    cand = (total, transit, int(best_k[e_stop]))
-                    if cand is not None and not (walking is not None and walking <= cand[0]):
-                        total, transit, k = cand
-                        out.append((origin_id, dep, dest_id, total, transit, total - transit, k))
-                    elif walking is not None:
-                        out.append((origin_id, dep, dest_id, walking, None, walking, 0))
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "origin_id", "departure", "dest_id", "travel_time",
-                    "transit_time", "walking_time", "transfers",
-                ],
-            )
+    egress = dest_tables["point_stops"].select(
+        F.col("point_id").alias("dest_id"),
+        "stop_idx",
+        F.col("access_secs").alias("e_secs"),
+        "rank",
+    )
+    cand = (
+        labels.join(egress, "stop_idx")
+        .withColumn("total", F.col("arrival") - F.col("departure") + F.col("e_secs"))
+    )
+    w = Window.partitionBy("origin_id", "departure", "dest_id").orderBy("total", "rank")
+    best_cand = (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "origin_id", "departure", "dest_id", "total",
+            (F.col("arrival") - F.col("departure") - F.col("a_secs")).alias("transit"),
+            F.col("k_transfers").alias("k"),
+        )
+    )
 
-    parts = max(1, min(origins.count(), spark.sparkContext.defaultParallelism * 2))
-    return origins.repartition(parts).mapInPandas(kernel, RESULT_SCHEMA)
+    joined = best_cand.join(
+        walking, ["origin_id", "departure", "dest_id"], "full_outer"
+    )
+    take_transit = F.col("total").isNotNull() & (
+        F.col("walking").isNull() | (F.col("walking") > F.col("total"))
+    )
+    return joined.select(
+        "origin_id",
+        "departure",
+        "dest_id",
+        F.when(take_transit, F.col("total")).otherwise(F.col("walking")).alias("travel_time"),
+        F.when(take_transit, F.col("transit")).alias("transit_time"),
+        F.when(take_transit, F.col("total") - F.col("transit"))
+        .otherwise(F.col("walking")).alias("walking_time"),
+        F.when(take_transit, F.col("k")).otherwise(F.lit(0)).alias("transfers"),
+    ).filter(F.col("travel_time").isNotNull())
 
 
 def route_pairs(

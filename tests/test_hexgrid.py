@@ -84,7 +84,7 @@ def test_cells_to_wkt_dissolves_shared_edges():
     c = hg.latlng_to_cell(np.array([5.0]), np.array([5.0]), 7)[0]
     disk = hg.grid_disk(int(c), 1)
     wkt = hg.cells_to_wkt(disk)
-    assert wkt.startswith("MULTIPOLYGON (")
+    assert wkt.startswith("MULTIPOLYGON(")
     # 7 dissolved hexes → one ring with 18 edges (19 pts incl. closure)
     assert wkt.count(",") == 18
     assert hg.cells_to_wkt([]) == "MULTIPOLYGON EMPTY"

@@ -91,7 +91,7 @@ def test_isochrone_wkt_shape(spark, timetable, spark_model, spark_origins, spark
     )
     wkt = iso.isochrone_wkt(cells).toPandas()
     assert len(wkt) == len(ORIGINS)
-    assert all(w.startswith("MULTIPOLYGON (") for w in wkt["wkt"])
+    assert all(w.startswith("MULTIPOLYGON(") for w in wkt["wkt"])
 
 
 def test_percent_access_exact(spark, timetable, spark_model, spark_origins,
