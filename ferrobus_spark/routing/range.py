@@ -95,6 +95,7 @@ def range_routing(
     dest_tables: dict[str, DataFrame],
     dep_range: tuple[int, int],
     max_transfers: int,
+    warm_start: bool = False,
 ) -> DataFrame:
     """Journeys for each OD pair over a departure window.
 
@@ -102,6 +103,13 @@ def range_routing(
     are both capped at MAX_CANDIDATE_STOPS=1 (pareto.rs:170-173).
     Output: one row per journey (walking option included) with the
     reference's exact Pareto keep-flag.
+
+    ``warm_start=True`` uses the reference's rRAPTOR label reuse
+    (range_raptor.rs — latest-first departures sharing best-arrival
+    bounds) instead of independent per-departure runs. Results are
+    identical (leaving earlier can never arrive later, so the shared
+    bounds only prune dominated work); it trades the embarrassingly
+    parallel departure axis for less total work per pair.
     """
     o_nodes = origin_tables["point_nodes"].select(
         F.col("point_id").alias("origin_id"),
@@ -164,13 +172,27 @@ def range_routing(
                     e_stop, e_secs = int(r.e_stop), int(r.e_secs)
                     skip = walking is not None and a_secs + e_secs >= walking
                     if not skip:
-                        for dep in source_departures(tt_, a_stop, lo + a_secs, hi + a_secs):
-                            best, best_k = raptor(
-                                tt_, a_stop, dep, max_transfers, target=e_stop
-                            )
-                            arr = best[e_stop]
-                            if arr == INF:
-                                continue
+                        if warm_start:
+                            from ferrobus_spark.routing.raptor import rraptor
+
+                            results = [
+                                (dep, arr, k)
+                                for dep, arr, k in rraptor(
+                                    tt_, a_stop, e_stop,
+                                    lo + a_secs, hi + a_secs, max_transfers,
+                                )
+                                if arr is not None
+                            ]
+                        else:
+                            results = []
+                            for dep in source_departures(tt_, a_stop, lo + a_secs, hi + a_secs):
+                                best, best_k = raptor(
+                                    tt_, a_stop, dep, max_transfers, target=e_stop
+                                )
+                                arr = best[e_stop]
+                                if arr != INF:
+                                    results.append((dep, int(arr), int(best_k[e_stop])))
+                        for dep, arr, k in sorted(results):
                             transit = int(arr) - dep
                             origin_dep = dep - a_secs
                             dest_arr = int(arr) + e_secs
@@ -179,7 +201,7 @@ def range_routing(
                                 "departure_time": origin_dep,
                                 "arrival_time": dest_arr,
                                 "travel_time": total,
-                                "transfers": int(best_k[e_stop]),
+                                "transfers": int(k),
                                 "walking_time": total - transit,
                             })
                 keep = pareto_front_flags(journeys)

@@ -106,3 +106,23 @@ def test_upper_median_matches(spark, journeys, oracle_model, oracle_points):
             assert pair_id not in med, f"pair {pair_id}"
             continue
         assert med[pair_id] == O.upper_median_travel_time(exp_all), f"pair {pair_id}"
+
+
+def test_warm_start_identical(spark, spark_model, timetable, spark_points):
+    """rRAPTOR warm-start returns byte-identical journey rows."""
+    od = spark.createDataFrame(OD, "pair_id LONG, origin_id LONG, dest_id LONG")
+    kw = dict(
+        od_pairs=od,
+        origin_tables=spark_points,
+        dest_tables=spark_points,
+        dep_range=DEP_RANGE,
+        max_transfers=MAX_TRANSFERS,
+    )
+    cold = range_routing(spark, timetable, spark_model.csr, **kw).toPandas()
+    warm = range_routing(
+        spark, timetable, spark_model.csr, warm_start=True, **kw
+    ).toPandas()
+    key = ["pair_id", "departure_time"]
+    cold = cold.sort_values(key).reset_index(drop=True)
+    warm = warm.sort_values(key).reset_index(drop=True)
+    assert cold.equals(warm)
