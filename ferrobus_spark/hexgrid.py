@@ -135,7 +135,7 @@ def cell_resolution(cell):
 def cell_to_latlng(cell):
     """Cell centroid as (lon, lat) arrays."""
     q, r, res = cell_to_qr(cell)
-    size = 1.0 / (1 << 0) / np.power(2.0, res.astype(np.float64))
+    size = 1.0 / np.power(2.0, res.astype(np.float64))
     lon = size * SQRT3 * (q.astype(np.float64) + r.astype(np.float64) / 2.0)
     lat = size * 1.5 * r.astype(np.float64)
     return lon, lat

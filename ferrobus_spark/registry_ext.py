@@ -82,7 +82,7 @@ def _dlit(x: float) -> str:
     return dlit(x)
 
 
-_NZ = f"CAST(GREATEST(CAST(length(text) AS BIGINT), 1) AS DOUBLE)"
+_NZ = "CAST(GREATEST(CAST(length(text) AS BIGINT), 1) AS DOUBLE)"
 _NW = (
     f"CAST(GREATEST(len(regexp_extract_all(lower(text), '[a-z]+')), 1) AS DOUBLE)"
 )

@@ -127,11 +127,21 @@ def _indexed_stops(spark: SparkSession, dirpath: str, offset: int) -> tuple[Data
     return df, offset + n
 
 
-def load_gtfs_dirs(spark: SparkSession, dirs: list[str] | str) -> dict[str, DataFrame]:
+def load_gtfs_dirs(
+    spark: SparkSession, dirs: list[str] | str, materialize: bool = True
+) -> dict[str, DataFrame]:
     """Load one or more GTFS directories into the canonical table dict.
 
     Multi-feed union is ``unionByName`` in dir order; the dense stop index
     spans feeds (processor.rs:43-53, 389-393).
+
+    ``materialize=True`` (default) localCheckpoints every table once
+    loaded: the model build consumes each table from several downstream
+    branches, and re-planning the raw CSV scans (especially the stops
+    file-order window) per branch measured 3× slower end-to-end on the
+    zhelez fixture. Set False when stop_times is too large for executor
+    cache — then write the loaded tables to parquet/Iceberg (bronze) and
+    re-read instead, which is the production shape anyway.
     """
     if isinstance(dirs, str):
         dirs = [dirs]
@@ -168,5 +178,5 @@ def load_gtfs_dirs(spark: SparkSession, dirs: list[str] | str) -> dict[str, Data
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
-        out[name] = df
+        out[name] = df.localCheckpoint() if materialize else df
     return out

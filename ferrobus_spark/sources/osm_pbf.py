@@ -313,7 +313,9 @@ def read_osm_pbf(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
     return nodes_df, ways_df
 
 
-def street_tables_from_pbf(spark: SparkSession, path: str) -> dict[str, DataFrame]:
+def street_tables_from_pbf(
+    spark: SparkSession, path: str, materialize: bool = True
+) -> dict[str, DataFrame]:
     """PBF → {street_nodes(node_id,lon,lat), street_edges(src,dst,length_m,foot)}.
 
     osm4routing edge semantics, as DataFrame algebra:
@@ -422,4 +424,10 @@ def street_tables_from_pbf(spark: SparkSession, path: str) -> dict[str, DataFram
         .join(nodes_df, "node_id")
         .select("node_id", "lon", "lat")
     )
-    return {"street_nodes": street_nodes, "street_edges": edges}
+    out = {"street_nodes": street_nodes, "street_edges": edges}
+    if materialize:
+        # downstream (component detection, CSR collect, snapping) reads
+        # these repeatedly; one materialization beats re-running the
+        # decode + window plan per consumer
+        out = {k: v.localCheckpoint() for k, v in out.items()}
+    return out
