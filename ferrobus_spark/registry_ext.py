@@ -131,6 +131,48 @@ def q_doc_fingerprint(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# HTML processing over the pages table (web-corpus ops; oracle-checked)
+# ---------------------------------------------------------------------------
+
+@register(
+    "html_extract_text",
+    "SELECT doc_id, text AS extracted_text FROM documents",
+)
+def q_html_extract_text(spark, sf_dir):
+    """HTML -> visible text extraction; byte-identical to the source text
+    per url (the graft's per-row invariant, checked via value hash)."""
+    from ferrobus_spark.operators.html_text import parse_html
+    from ferrobus_spark.sources.pages import pages_table
+
+    return parse_html(pages_table(spark, sf_dir)).select("doc_id", "extracted_text")
+
+
+@register(
+    "html_link_graph",
+    """
+    SELECT doc_id, link_pos, href FROM (
+      SELECT doc_id, 0 AS link_pos,
+             '/page/' || CAST(doc_id - 1 AS VARCHAR) AS href
+      FROM documents WHERE doc_id > 0
+      UNION ALL
+      SELECT doc_id,
+             CASE WHEN doc_id > 0 THEN 1 ELSE 0 END AS link_pos,
+             '/page/' || CAST(doc_id + 1 AS VARCHAR) AS href
+      FROM documents
+    )
+    """,
+)
+def q_html_link_graph(spark, sf_dir):
+    """Outgoing link edges parsed from raw HTML (host-graph input)."""
+    from ferrobus_spark.operators.html_text import extract_links
+    from ferrobus_spark.sources.pages import pages_table
+
+    return extract_links(pages_table(spark, sf_dir)).select(
+        "doc_id", "link_pos", "href"
+    )
+
+
+# ---------------------------------------------------------------------------
 # dedup (LSH families — rows-only; exactness pytest-verified vs brute force)
 # ---------------------------------------------------------------------------
 

@@ -50,7 +50,36 @@ def pages_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_timestamp(F.lit("2024-01-01 00:00:00"))
             + F.make_interval(secs=(h % 2592000).cast("double"))
         ).alias("warc_ts"),
-        F.encode(F.concat(F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")), "UTF-8").alias("html"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>Page "),
+                F.col("doc_id").cast("string"),
+                F.lit("</title></head><body><nav>"),
+                # deterministic link structure: prev (when >0) + next page
+                F.when(
+                    F.col("doc_id") > 0,
+                    F.concat(
+                        F.lit('<a href="/page/'),
+                        (F.col("doc_id") - 1).cast("string"),
+                        F.lit('">prev</a>'),
+                    ),
+                ).otherwise(F.lit("")),
+                F.lit('<a href="/page/'),
+                (F.col("doc_id") + 1).cast("string"),
+                F.lit('">next</a></nav><p>'),
+                # entity-escape so extraction is byte-identical even if the
+                # corpus ever grows markup characters
+                F.replace(
+                    F.replace(
+                        F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+                        F.lit("<"), F.lit("&lt;"),
+                    ),
+                    F.lit(">"), F.lit("&gt;"),
+                ),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
         F.col("text"),
         F.col("lang"),
         lon.alias("lon"),

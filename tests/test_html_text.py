@@ -1,0 +1,47 @@
+"""HTML parsing operators: extraction invariant, titles, links."""
+
+import pytest
+
+from ferrobus_spark.operators.html_text import extract_links, parse_html
+from ferrobus_spark.sources.pages import pages_table
+
+
+@pytest.fixture(scope="module")
+def parsed(spark, sf_dir):
+    return parse_html(pages_table(spark, sf_dir)).localCheckpoint()
+
+
+def test_extracted_text_byte_identical(spark, sf_dir, parsed):
+    """The graft per-row invariant: html -> text is lossless."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    joined = parsed.join(docs, "doc_id")
+    n = joined.count()
+    assert n == docs.count()
+    assert joined.filter("extracted_text <> text").count() == 0
+
+
+def test_titles_and_links(parsed):
+    rows = parsed.orderBy("doc_id").limit(3).collect()
+    for r in rows:
+        assert r.title == f"Page {r.doc_id}"
+        exp = ([f"/page/{r.doc_id - 1}"] if r.doc_id > 0 else []) + [f"/page/{r.doc_id + 1}"]
+        assert list(r.links) == exp
+
+
+def test_extract_links_shape(spark, sf_dir):
+    links = extract_links(pages_table(spark, sf_dir))
+    assert links.columns == ["doc_id", "link_pos", "href"]
+    assert links.filter("href NOT LIKE '/page/%'").count() == 0
+
+
+def test_parser_skips_script_style_nav(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"<html><head><title>T</title><style>x{}</style></head>"
+                       b"<body><script>var a;</script><nav><a href='/x'>skip</a></nav>"
+                       b"BODY &amp; <b>MORE</b></body></html>"))],
+        "doc_id long, html binary",
+    )
+    r = parse_html(df).collect()[0]
+    assert r.extracted_text == "BODY & MORE"
+    assert r.title == "T"
+    assert list(r.links) == ["/x"]
