@@ -147,21 +147,29 @@ def q_html_extract_text(spark, sf_dir):
     return parse_html(pages_table(spark, sf_dir)).select("doc_id", "extracted_text")
 
 
-@register(
-    "html_link_graph",
-    """
+def _link_graph_oracle() -> str:
+    from ferrobus_spark.sources.pages import ref_href_sql
+
+    return f"""
     SELECT doc_id, link_pos, href FROM (
       SELECT doc_id, 0 AS link_pos,
-             '/page/' || CAST(doc_id - 1 AS VARCHAR) AS href
+             '/page/' || CAST(doc_id - 1 AS STRING) AS href
       FROM documents WHERE doc_id > 0
       UNION ALL
       SELECT doc_id,
              CASE WHEN doc_id > 0 THEN 1 ELSE 0 END AS link_pos,
-             '/page/' || CAST(doc_id + 1 AS VARCHAR) AS href
+             '/page/' || CAST(doc_id + 1 AS STRING) AS href
+      FROM documents
+      UNION ALL
+      SELECT doc_id,
+             CASE WHEN doc_id > 0 THEN 2 ELSE 1 END AS link_pos,
+             {ref_href_sql()} AS href
       FROM documents
     )
-    """,
-)
+    """
+
+
+@register("html_link_graph", _link_graph_oracle())
 def q_html_link_graph(spark, sf_dir):
     """Outgoing link edges parsed from raw HTML (host-graph input)."""
     from ferrobus_spark.operators.html_text import extract_links
@@ -169,6 +177,48 @@ def q_html_link_graph(spark, sf_dir):
 
     return extract_links(pages_table(spark, sf_dir)).select(
         "doc_id", "link_pos", "href"
+    )
+
+
+def _host_graph_oracle() -> str:
+    from ferrobus_spark.sources.pages import REF_TARGET_SQL, domain_sql
+
+    d = domain_sql("doc_id")
+    dr = domain_sql(REF_TARGET_SQL)
+    return f"""
+    SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links FROM (
+      SELECT {d} AS src_host, {d} AS dst_host FROM documents WHERE doc_id > 0
+      UNION ALL
+      SELECT {d}, {d} FROM documents
+      UNION ALL
+      SELECT {d}, {dr} FROM documents
+    ) GROUP BY src_host, dst_host
+    """
+
+
+@register("host_link_graph", _host_graph_oracle())
+def q_host_link_graph(spark, sf_dir):
+    """Host-level link-graph edges aggregated from parsed HTML hrefs."""
+    from ferrobus_spark.operators.html_text import extract_links
+    from ferrobus_spark.operators.linkgraph import host_graph, resolve_links
+    from ferrobus_spark.sources.pages import pages_table
+
+    pages = pages_table(spark, sf_dir)
+    resolved = resolve_links(extract_links(pages), pages)
+    return host_graph(resolved)
+
+
+@register("host_pagerank")  # rows-only: float iterative; NumPy-oracle pytest
+def q_host_pagerank(spark, sf_dir):
+    from ferrobus_spark.operators.html_text import extract_links
+    from ferrobus_spark.operators.linkgraph import pagerank, resolve_links
+    from ferrobus_spark.sources.pages import pages_table
+
+    pages = pages_table(spark, sf_dir)
+    resolved = resolve_links(extract_links(pages), pages)
+    return pagerank(
+        resolved.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst")),
+        n_iter=8,
     )
 
 

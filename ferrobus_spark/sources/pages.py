@@ -27,22 +27,40 @@ def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+#: bucket upper bounds for the harmonic-ish domain skew (h%64 → 8 domains)
+_DOMAIN_CUTS = [32, 44, 52, 57, 60, 62, 63]
+
+
+def domain_sql(id_expr: str) -> str:
+    """CASE expression mapping an integer id to its domain — ONE string
+    shared verbatim by Spark and the DuckDB oracle so the skewed domain
+    assignment (and the cross-domain ref links built from it) stays
+    engine-identical by construction."""
+    bucket = f"(({id_expr}) * 2654435761) % 4294967296 % 64"
+    whens = "".join(
+        f" WHEN {bucket} < {cut} THEN '{dom}'"
+        for cut, dom in zip(_DOMAIN_CUTS, _DOMAINS)
+    )
+    return f"(CASE{whens} ELSE '{_DOMAINS[7]}' END)"
+
+
+#: cross-domain reference link target for a page (see pages_table nav)
+REF_TARGET_SQL = "((doc_id * 131 + 7) % 4096)"
+
+
+def ref_href_sql() -> str:
+    """Absolute URL of the page's cross-domain 'ref' link (shared SQL)."""
+    return (
+        f"('https://' || {domain_sql(REF_TARGET_SQL)} || '/page/' || "
+        f"CAST({REF_TARGET_SQL} AS STRING))"
+    )
+
+
 def pages_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → pages(url, warc_ts, html, text, lang, lon, lat, domain)."""
     docs = load_documents(spark, sf_dir)
     h = (F.col("doc_id") * 2654435761) % 4294967296
-    # harmonic-ish domain skew: doc h%64 buckets map unevenly onto 8 domains
-    bucket = (h % 64).cast("int")
-    domain = (
-        F.when(bucket < 32, F.lit(_DOMAINS[0]))
-        .when(bucket < 44, F.lit(_DOMAINS[1]))
-        .when(bucket < 52, F.lit(_DOMAINS[2]))
-        .when(bucket < 57, F.lit(_DOMAINS[3]))
-        .when(bucket < 60, F.lit(_DOMAINS[4]))
-        .when(bucket < 62, F.lit(_DOMAINS[5]))
-        .when(bucket < 63, F.lit(_DOMAINS[6]))
-        .otherwise(F.lit(_DOMAINS[7]))
-    )
+    domain = F.expr(domain_sql("doc_id"))
     lon, lat = lonlat_cols("doc_id")
     return docs.select(
         F.concat(F.lit("https://"), domain, F.lit("/page/"), F.col("doc_id")).alias("url"),
@@ -66,7 +84,11 @@ def pages_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(F.lit("")),
                 F.lit('<a href="/page/'),
                 (F.col("doc_id") + 1).cast("string"),
-                F.lit('">next</a></nav><p>'),
+                F.lit('">next</a>'),
+                # cross-domain reference link → nontrivial host graph
+                F.lit('<a href="'),
+                F.expr(ref_href_sql()),
+                F.lit('">ref</a></nav><p>'),
                 # entity-escape so extraction is byte-identical even if the
                 # corpus ever grows markup characters
                 F.replace(

@@ -25,13 +25,18 @@ def test_titles_and_links(parsed):
     for r in rows:
         assert r.title == f"Page {r.doc_id}"
         exp = ([f"/page/{r.doc_id - 1}"] if r.doc_id > 0 else []) + [f"/page/{r.doc_id + 1}"]
-        assert list(r.links) == exp
+        got = list(r.links)
+        assert got[:-1] == exp  # relative prev/next
+        assert got[-1].startswith("https://")  # cross-domain ref
 
 
 def test_extract_links_shape(spark, sf_dir):
     links = extract_links(pages_table(spark, sf_dir))
     assert links.columns == ["doc_id", "link_pos", "href"]
-    assert links.filter("href NOT LIKE '/page/%'").count() == 0
+    bad = links.filter(
+        "href NOT LIKE '/page/%' AND href NOT LIKE 'https://%'"
+    ).count()
+    assert bad == 0
 
 
 def test_parser_skips_script_style_nav(spark):

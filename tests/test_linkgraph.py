@@ -1,0 +1,60 @@
+"""Link-graph ops: host edges vs manual aggregation, PageRank vs NumPy."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ferrobus_spark.operators.html_text import extract_links
+from ferrobus_spark.operators.linkgraph import host_graph, pagerank, resolve_links
+from ferrobus_spark.sources.pages import pages_table
+
+
+@pytest.fixture(scope="module")
+def resolved(spark, sf_dir):
+    pages = pages_table(spark, sf_dir)
+    return resolve_links(extract_links(pages), pages).localCheckpoint()
+
+
+def test_relative_links_resolve_to_own_host(resolved):
+    rel = resolved.filter(F.col("url").contains("/page/")).count()
+    assert rel == resolved.count()
+    mismatch = resolved.filter(
+        ~F.col("url").startswith(F.concat(F.lit("https://"), F.col("dst_host")))
+    ).count()
+    assert mismatch == 0
+
+
+def test_host_graph_counts(resolved):
+    hg = {(r.src_host, r.dst_host): r.n_links for r in host_graph(resolved).collect()}
+    manual = (
+        resolved.groupBy("src_host", "dst_host").count().collect()
+    )
+    assert hg == {(r.src_host, r.dst_host): r["count"] for r in manual}
+    # cross-domain refs make it non-diagonal
+    assert any(s != d for s, d in hg)
+
+
+def test_pagerank_matches_numpy(spark, resolved):
+    edges = resolved.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+    got = {r.node: r.rank for r in pagerank(edges, n_iter=8).collect()}
+
+    pdf = edges.toPandas()
+    hosts = sorted(set(pdf["src"]) | set(pdf["dst"]))
+    idx = {h: i for i, h in enumerate(hosts)}
+    n = len(hosts)
+    W = np.zeros((n, n))
+    for s, d in zip(pdf["src"], pdf["dst"]):
+        W[idx[s], idx[d]] += 1
+    out = W.sum(axis=1)
+    d = 0.85
+    r = np.full(n, 1.0 / n)
+    for _ in range(8):
+        dangling = r[out == 0].sum()
+        base = (1 - d) / n + d * dangling / n
+        contrib = np.zeros(n)
+        nz = out > 0
+        contrib = (W[nz] / out[nz, None]).T @ r[nz]
+        r = base + d * contrib
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+    for h in hosts:
+        assert abs(got[h] - r[idx[h]]) < 1e-9, h
