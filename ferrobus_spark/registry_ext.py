@@ -180,6 +180,42 @@ def q_html_link_graph(spark, sf_dir):
     )
 
 
+@register(
+    "url_canonicalize",
+    """
+    SELECT doc_id,
+           'https://' || CASE WHEN doc_id % 2 = 0 THEN 'example.com' ELSE 'news.example.org' END
+             || '/Page/' || CAST(doc_id AS STRING)
+             || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END AS canon_url,
+           CASE WHEN doc_id % 2 = 0 THEN 'example.com' ELSE 'news.example.org' END AS host
+    FROM documents
+    """,
+)
+def q_url_canonicalize(spark, sf_dir):
+    """Canonicalization over deterministically-messied URLs: case-folded
+    scheme/host, default port, fragment, empty query all stripped;
+    path case preserved. Oracle states the expected canonical directly."""
+    from ferrobus_spark.functions.urls import canonical_url_col, url_host_col
+
+    docs = _docs(spark, sf_dir)
+    messy = F.concat(
+        F.lit("HTTPS://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("Example.COM:443")).otherwise(
+            F.lit("News.Example.Org")
+        ),
+        F.lit("/Page/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("//")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("?")).otherwise(F.lit("")),
+        F.lit("#Section-2"),
+    )
+    return docs.select(
+        "doc_id",
+        canonical_url_col(messy).alias("canon_url"),
+        url_host_col(messy).alias("host"),
+    )
+
+
 def _host_graph_oracle() -> str:
     from ferrobus_spark.sources.pages import REF_TARGET_SQL, domain_sql
 
