@@ -16,7 +16,7 @@ reference's unspecified HashMap tie order (documented deviation).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -48,23 +48,16 @@ def build_point_tables(
     # snap gate: beyond max walking time → point is unroutable (excluded)
     point_nodes = snapped.filter(F.col("snap_secs") <= F.col("max_walking_time"))
 
-    n2s = {int(r.node_id): int(r.stop_idx) for r in node_to_stop.collect()}
-    bc = spark.sparkContext.broadcast((csr, n2s))
+    bc = spark.sparkContext.broadcast(csr)
 
     walk_schema = T.StructType([
         T.StructField("point_id", T.LongType()),
         T.StructField("node_id", T.LongType()),
         T.StructField("walk_secs", T.LongType()),
     ])
-    stops_schema = T.StructType([
-        T.StructField("point_id", T.LongType()),
-        T.StructField("stop_idx", T.LongType()),
-        T.StructField("access_secs", T.LongType()),
-        T.StructField("rank", T.IntegerType()),
-    ])
 
     def walk_kernel(batches):
-        g, _ = bc.value
+        g = bc.value
         for pdf in batches:
             rows_p, rows_n, rows_s = [], [], []
             for pid, node, snap, mwt in zip(
@@ -78,33 +71,36 @@ def build_point_tables(
                     rows_s.append(secs)
             yield pd.DataFrame({"point_id": rows_p, "node_id": rows_n, "walk_secs": rows_s})
 
-    def stops_kernel(batches):
-        g, n2s_ = bc.value
-        for pdf in batches:
-            out = []
-            for pid, node, snap, mwt, mns in zip(
-                pdf["point_id"], pdf["node_id"], pdf["snap_secs"],
-                pdf["max_walking_time"], pdf["max_nearest_stops"],
-            ):
-                bound = int(mwt) - int(snap)
-                dense = int(g.dense_of([node])[0])
-                dist = bounded_dijkstra(g, dense, max_cost=bound)
-                near = []
-                for nd, secs in dist.items():
-                    ext = int(g.node_ids[nd])
-                    if secs <= bound and ext in n2s_:
-                        near.append((secs + int(snap), n2s_[ext]))
-                near.sort()
-                for rank, (secs, sidx) in enumerate(near[: int(mns)], 1):
-                    out.append((int(pid), sidx, secs, rank))
-            yield pd.DataFrame(out, columns=["point_id", "stop_idx", "access_secs", "rank"])
-
     parts = max(1, min(point_nodes.count(), spark.sparkContext.defaultParallelism * 2))
     src = point_nodes.repartition(parts).localCheckpoint()
+    point_walk = src.mapInPandas(walk_kernel, walk_schema).localCheckpoint()
+
+    # point_stops derives from point_walk with a join — ONE Dijkstra per
+    # point total (the previous second kernel recomputed the same SSSP).
+    # Reach gate: the kernel's one-edge overhang can exceed the bound, so
+    # re-apply walk_secs <= mwt - snap like the reference's `time <=
+    # max_walking_time - distance` (transit_model.rs:229-235). Tie-break
+    # (access_secs, stop_idx) — documented deterministic refinement.
+    meta = src.select("point_id", "snap_secs", "max_walking_time", "max_nearest_stops")
+    w = Window.partitionBy("point_id").orderBy("access_secs", "stop_idx")
+    point_stops = (
+        point_walk.join(F.broadcast(node_to_stop), "node_id")
+        .join(F.broadcast(meta), "point_id")
+        .filter(F.col("walk_secs") <= F.col("max_walking_time") - F.col("snap_secs"))
+        .select(
+            "point_id",
+            "stop_idx",
+            (F.col("walk_secs") + F.col("snap_secs")).alias("access_secs"),
+            "max_nearest_stops",
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= F.col("max_nearest_stops"))
+        .drop("max_nearest_stops")
+    )
     return {
         "point_nodes": src.select(
             "point_id", "node_id", "snap_secs", "max_walking_time"
         ),
-        "point_walk": src.mapInPandas(walk_kernel, walk_schema),
-        "point_stops": src.mapInPandas(stops_kernel, stops_schema),
+        "point_walk": point_walk,
+        "point_stops": point_stops,
     }
