@@ -33,14 +33,22 @@ _VOID = {"br", "hr", "img", "meta", "link", "input", "area", "base", "col",
 
 
 class _PageParser(HTMLParser):
-    """Single-pass text + title + link extractor."""
+    """Single-pass text + title + link extractor.
+
+    Skip-tag state is a STACK of tag names, not a bare counter:
+    html.parser emits no implied end tags, so valid HTML5 that omits
+    ``</head>`` (common in minified pages) would leave a counter
+    permanently >0 and silently drop the whole body. ``<body>`` (or
+    ``<html>``'s re-open) closes any open ``head`` frame, and an end tag
+    with no matching open frame is ignored instead of desyncing.
+    """
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.parts: list[str] = []
         self.title_parts: list[str] = []
         self.links: list[str] = []
-        self._skip = 0
+        self._skip_stack: list[str] = []
         self._in_title = False
 
     def handle_starttag(self, tag, attrs):
@@ -48,21 +56,28 @@ class _PageParser(HTMLParser):
             for k, v in attrs:
                 if k == "href" and v:
                     self.links.append(v)
+        if tag == "body" and "head" in self._skip_stack:
+            # HTML5 implies </head> before <body>
+            self._skip_stack = [t for t in self._skip_stack if t != "head"]
         if tag == "title":
             self._in_title = True
         elif tag in _SKIP_TAGS and tag not in _VOID:
-            self._skip += 1
+            self._skip_stack.append(tag)
 
     def handle_endtag(self, tag):
         if tag == "title":
             self._in_title = False
-        elif tag in _SKIP_TAGS and self._skip:
-            self._skip -= 1
+        elif tag in _SKIP_TAGS and tag in self._skip_stack:
+            # pop the nearest matching frame; unmatched end tags are no-ops
+            for i in range(len(self._skip_stack) - 1, -1, -1):
+                if self._skip_stack[i] == tag:
+                    del self._skip_stack[i]
+                    break
 
     def handle_data(self, data):
         if self._in_title:
             self.title_parts.append(data)
-        elif not self._skip:
+        elif not self._skip_stack:
             self.parts.append(data)
 
 

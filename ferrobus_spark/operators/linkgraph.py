@@ -28,21 +28,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ferrobus_spark.plans.iterative import materialize
+from ferrobus_spark.plans.iterative import cleanup, materialize
 
 
 def resolve_links(links: DataFrame, pages: DataFrame) -> DataFrame:
     """(doc_id, href) + pages(doc_id, domain) → (doc_id, src_host, dst_host, url).
 
-    Relative hrefs inherit the linking page's host (protocol-relative and
-    other schemes are dropped, like a crawler's frontier filter would).
+    Relative hrefs inherit the linking page's host; protocol-relative
+    (``//host/…``) and other schemes are dropped, like a crawler's
+    frontier filter would. ``dst_host`` is normalized exactly like
+    ``functions.urls.url_host_col`` — lowercased, port stripped — so
+    host-graph keys can't split by case or ``:8080`` on real HTML.
     """
     src = pages.select("doc_id", F.col("domain").alias("src_host"))
     out = links.join(F.broadcast(src), "doc_id")
     absolute = F.col("href").startswith("https://") | F.col("href").startswith("http://")
-    host_of = F.regexp_extract("href", r"^https?://([^/]+)", 1)
+    relative = F.col("href").startswith("/") & ~F.col("href").startswith("//")
+    host_of = F.regexp_replace(
+        F.lower(F.regexp_extract("href", r"^https?://([^/?#]+)", 1)), r":\d+$", ""
+    )
     return (
-        out.filter(absolute | F.col("href").startswith("/"))
+        out.filter(absolute | relative)
         .select(
             "doc_id",
             "src_host",
@@ -74,14 +80,21 @@ def pagerank(
     ``edges``: directed (src, dst) pairs; parallel edges count as weight.
     rank_{t+1}(v) = (1-d)/N + d * (Σ_{u→v} rank_t(u)/outdeg(u) + dangling/N).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    shared: list[str] = []  # dirs needed for the whole loop (edges/nodes/outdeg)
+    rounds: list[str] = []  # superseded per-round rank dirs
+    # edges are scanned EVERY round: materialize once so the upstream plan
+    # (e.g. HTML parse → resolve_links) doesn't re-execute n_iter times
+    e = materialize(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")), shared
+    )
     nodes = materialize(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
-        .distinct()
+        .distinct(),
+        shared,
     )
     n = nodes.count()
-    outdeg = materialize(e.groupBy("src").agg(F.count("*").alias("outdeg")))
+    outdeg = materialize(e.groupBy("src").agg(F.count("*").alias("outdeg")), shared)
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
@@ -102,6 +115,7 @@ def pagerank(
             .collect()[0]["m"]
         )
         base = (1.0 - damping) / n + damping * dangling / n
+        prev_rounds, rounds = rounds, []
         ranks = materialize(
             nodes.join(contribs, "node", "left").select(
                 "node",
@@ -109,6 +123,13 @@ def pagerank(
                     F.lit(base)
                     + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
                 ).alias("rank"),
-            )
+            ),
+            rounds,
         )
+        # the write above fully consumed the previous round's parquet —
+        # delete it now so disk stays O(1) across iterations
+        cleanup(prev_rounds)
+    cleanup(shared)
+    # the final round's directory stays: it backs the returned DataFrame
+    # (and doubles as the plans/checkpoint.py resume artifact)
     return ranks

@@ -44,8 +44,30 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    max_corpus_rows: int | None = 2_000_000,
+    on_overflow: str = "ivf",
 ) -> DataFrame:
-    """Exact cosine top-k; corpus must fit in a broadcast (~GBs)."""
+    """Exact cosine top-k; corpus must fit in a broadcast (~GBs).
+
+    Scale gate: the exact path driver-collects the corpus, which dies
+    at 100× data. If the corpus exceeds ``max_corpus_rows``, fall back
+    to the distributed :func:`ivf_topk` (``on_overflow='ivf'``) or
+    raise with a clear message (``on_overflow='error'``). Pass
+    ``max_corpus_rows=None`` to force the exact path (oracle use)."""
+    if max_corpus_rows is not None:
+        n_corpus = corpus.count()
+        if n_corpus > max_corpus_rows:
+            if on_overflow == "ivf":
+                return ivf_topk(
+                    spark, queries, corpus, k,
+                    id_col=id_col, vec_col=vec_col, exclude_self=exclude_self,
+                )
+            raise ValueError(
+                f"brute_force_topk: corpus has {n_corpus} rows > "
+                f"max_corpus_rows={max_corpus_rows}; the exact path "
+                "broadcasts the whole corpus. Use ivf_topk/lsh_topk, or "
+                "pass max_corpus_rows=None to force the exact path."
+            )
     cp = corpus.select(id_col, vec_col).toPandas()
     ids = cp[id_col].to_numpy(np.int64)
     mat = _normalize(np.stack(cp[vec_col].to_numpy()).astype(np.float64))

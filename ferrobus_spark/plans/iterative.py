@@ -27,6 +27,7 @@ input.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -34,11 +35,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def materialize(df: DataFrame) -> DataFrame:
+def materialize(df: DataFrame, registry: list[str] | None = None) -> DataFrame:
     """Parquet round-trip: truncate lineage AND reset stats to real sizes.
 
     Directory: ``spark.ferrobus.ckpt.dir`` conf if set (shared storage on
     a cluster), else the local temp dir (fine for local[*]).
+
+    ``registry``: optional list the new directory path is appended to, so
+    iterative callers can delete superseded rounds with :func:`cleanup`
+    instead of accumulating one directory per iteration on disk.
     """
     spark = df.sparkSession
     try:
@@ -48,7 +53,20 @@ def materialize(df: DataFrame) -> DataFrame:
     root = root or os.path.join(tempfile.gettempdir(), "ferrobus_ckpt")
     path = os.path.join(root, f"iter_{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(path)
+    if registry is not None:
+        registry.append(path)
     return spark.read.parquet(path)
+
+
+def cleanup(paths: list[str]) -> None:
+    """Delete materialized round directories (safe on missing paths).
+
+    Only delete a round once a LATER materialize() fully consumed it —
+    a DataFrame returned by materialize() lazily re-reads its directory.
+    """
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+    paths.clear()
 
 
 def connected_components(
@@ -62,12 +80,13 @@ def connected_components(
     Scale: each round is two aggregate+join passes over the edge list,
     shuffling on node id; rounds are O(log² n) worst-case, ~5 in practice.
     """
+    e_dirs: list[str] = []
     E = (
         edges.select(F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    E = materialize(E)
+    E = materialize(E, e_dirs)
     all_nodes = materialize(
         E.select(F.col("u").alias("node"))
         .union(E.select(F.col("v").alias("node")))
@@ -102,11 +121,13 @@ def connected_components(
             .select(F.col("n").alias("u"), F.col("m").alias("v"))
             .distinct()
         )
-        new_E = materialize(small)
+        prev_dirs, e_dirs = e_dirs, []
+        new_E = materialize(small, e_dirs)
         changed = (
             new_E.exceptAll(E).limit(1).count() + E.exceptAll(new_E).limit(1).count()
         )
         E = new_E
+        cleanup(prev_dirs)  # the exceptAll comparison was the last read of old E
         if changed == 0:
             break
 

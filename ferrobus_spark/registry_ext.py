@@ -184,29 +184,42 @@ def q_html_link_graph(spark, sf_dir):
     "url_canonicalize",
     """
     SELECT doc_id,
-           'https://' || CASE WHEN doc_id % 2 = 0 THEN 'example.com' ELSE 'news.example.org' END
+           CASE WHEN doc_id % 2 = 0 THEN 'https://example.com'
+                ELSE 'http://news.example.org:443' END
              || '/Page/' || CAST(doc_id AS STRING)
-             || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END AS canon_url,
+             || CASE WHEN doc_id % 3 = 0 THEN
+                  (CASE WHEN doc_id % 5 = 0 AND doc_id % 10 <> 0
+                        THEN '//' ELSE '/' END)
+                ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 AND doc_id % 10 <> 0
+                     THEN '?A=0&A=1&b=2' ELSE '' END AS canon_url,
            CASE WHEN doc_id % 2 = 0 THEN 'example.com' ELSE 'news.example.org' END AS host
     FROM documents
     """,
 )
 def q_url_canonicalize(spark, sf_dir):
     """Canonicalization over deterministically-messied URLs: case-folded
-    scheme/host, default port, fragment, empty query all stripped;
-    path case preserved. Oracle states the expected canonical directly."""
+    scheme/host, SCHEME-AWARE default port (https :443 stripped; the
+    same :443 on http is non-default and KEPT), fragment and empty query
+    stripped, query params byte-sorted, path case preserved. The oracle
+    states the expected canonical form directly (independent statement of
+    the spec, not a twin computation — a shared bug can't hide)."""
     from ferrobus_spark.functions.urls import canonical_url_col, url_host_col
 
     docs = _docs(spark, sf_dir)
     messy = F.concat(
-        F.lit("HTTPS://"),
-        F.when(F.col("doc_id") % 2 == 0, F.lit("Example.COM:443")).otherwise(
-            F.lit("News.Example.Org")
-        ),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("HTTPS://Example.COM:443")
+        ).otherwise(F.lit("HTTP://News.Example.Org:443")),
         F.lit("/Page/"),
         F.col("doc_id").cast("string"),
         F.when(F.col("doc_id") % 3 == 0, F.lit("//")).otherwise(F.lit("")),
-        F.when(F.col("doc_id") % 5 == 0, F.lit("?")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.when(F.col("doc_id") % 10 == 0, F.lit("?")).otherwise(
+                F.lit("?b=2&A=1&A=0")
+            ),
+        ).otherwise(F.lit("")),
         F.lit("#Section-2"),
     )
     return docs.select(
@@ -302,6 +315,42 @@ def q_ngram_exact_dups(spark, sf_dir):
     sigs = minhash_signatures(docs)
     cand = minhash_lsh_pairs(sigs, threshold=0.9).select("id_a", "id_b")
     exact = ngram_jaccard_pairs(docs, cand)
+    return exact.filter(F.col("jaccard") == 1.0).select("id_a", "id_b")
+
+
+@register(
+    "dedup_planted_dups",
+    """
+    WITH uni AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM uni a JOIN uni b ON a.text = b.text AND a.doc_id < b.doc_id
+    """,
+)
+def q_dedup_planted(spark, sf_dir):
+    """POSITIVE evidence for the dedup chain: plant an id-shifted copy of
+    every 10th document, run the full minhash → LSH → exact-Jaccard
+    refine pipeline over the union, and require it to land exactly on
+    the text-equality self-join — nonzero rows (the ``ngram_exact_dups``
+    query proves only the no-false-positives direction, since the sf0.01
+    corpus has no duplicate texts)."""
+    from ferrobus_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    uni = docs.unionByName(planted)
+    sigs = minhash_signatures(uni)
+    cand = minhash_lsh_pairs(sigs, threshold=0.9).select("id_a", "id_b")
+    exact = ngram_jaccard_pairs(uni, cand)
     return exact.filter(F.col("jaccard") == 1.0).select("id_a", "id_b")
 
 

@@ -41,17 +41,28 @@ RESULT_SCHEMA = T.StructType([
 ])
 
 
-def _collect_dests(point_tables: dict[str, DataFrame]) -> list:
-    """[(dest_id, node_id, [(egress_secs, stop_idx), ...]), ...]"""
+# find_route is an explicit-OD-pairs product; its dest map is broadcast to
+# the kernel, so bound the driver-side footprint with a hard cap (a caller
+# with more pairs wants the one_to_many join regime, not find_route).
+MAX_ROUTE_PAIRS = 100_000
+
+
+def _collect_dests(point_tables: dict[str, DataFrame], dest_ids: list[int]) -> list:
+    """[(dest_id, node_id, [(egress_secs, stop_idx)]), ...] — ONLY the
+    requested dests, and only their rank-1 egress row (``take(1)`` —
+    find_route scans a single egress candidate, lib.rs:14), so the
+    driver collect is O(|pairs' dests|), never the whole point table."""
+    wanted = F.col("point_id").isin([int(d) for d in dest_ids])
     nodes = {
         int(r.point_id): int(r.node_id)
-        for r in point_tables["point_nodes"].select("point_id", "node_id").collect()
+        for r in point_tables["point_nodes"]
+        .filter(wanted).select("point_id", "node_id").collect()
     }
     stops: dict[int, list] = {pid: [] for pid in nodes}
     for r in (
         point_tables["point_stops"]
-        .select("point_id", "stop_idx", "access_secs", "rank")
-        .orderBy("point_id", "rank")
+        .filter(wanted & (F.col("rank") == 1))
+        .select("point_id", "stop_idx", "access_secs")
         .collect()
     ):
         stops[int(r.point_id)].append((int(r.access_secs), int(r.stop_idx)))
@@ -234,7 +245,13 @@ def route_pairs(
     find_route vs one-to-many goldens differ on the same OD pair: 1566
     vs 1524 on the zhelez fixture). Walking tie goes to walking.
     """
-    dests = _collect_dests(dest_tables)
+    if len(pairs) > MAX_ROUTE_PAIRS:
+        raise ValueError(
+            f"route_pairs: {len(pairs)} OD pairs exceeds MAX_ROUTE_PAIRS="
+            f"{MAX_ROUTE_PAIRS}; use one_to_many (the join regime) for "
+            "bulk OD products instead of find_route."
+        )
+    dests = _collect_dests(dest_tables, sorted({int(d) for _o, d in pairs}))
     dmap = {pid: (node, stops) for pid, node, stops in dests}
     bc = spark.sparkContext.broadcast((tt, csr, dmap, pairs))
 

@@ -106,10 +106,17 @@ def range_routing(
 
     ``warm_start=True`` uses the reference's rRAPTOR label reuse
     (range_raptor.rs — latest-first departures sharing best-arrival
-    bounds) instead of independent per-departure runs. Results are
+    bounds) instead of independent per-departure runs. Arrivals are
     identical (leaving earlier can never arrive later, so the shared
     bounds only prune dominated work); it trades the embarrassingly
-    parallel departure axis for less total work per pair.
+    parallel departure axis for less total work per pair. Tie caveat:
+    when an EARLIER departure exactly ties a later departure's arrival,
+    the persisted ``best_k`` reports the transfers count of the run that
+    first achieved it (reference parity — the reference persists best
+    across departures too), while the cold path recomputes per
+    departure. Such ties require two departures boarding into the same
+    arrival instant; on the tested fixtures every departure boards a
+    distinct trip, so the two paths are byte-identical there.
     """
     o_nodes = origin_tables["point_nodes"].select(
         F.col("point_id").alias("origin_id"),

@@ -39,6 +39,25 @@ def test_extract_links_shape(spark, sf_dir):
     assert bad == 0
 
 
+def test_parser_handles_unclosed_head(spark):
+    """Valid HTML5 may omit </head>; the skip stack must not swallow the
+    body. Also: an unmatched </script> end tag must be a no-op."""
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(b"<html><head><title>T</title><meta charset='utf-8'>"
+                          b"<body>BODY TEXT</body></html>")),
+            (2, bytearray(b"<html><body></script>AFTER STRAY END</body></html>")),
+            (3, bytearray(b"<head><style>a{}</style><body><nav>m</nav>OK")),
+        ],
+        "doc_id long, html binary",
+    )
+    rows = {r.doc_id: r for r in parse_html(df).collect()}
+    assert rows[1].extracted_text == "BODY TEXT"
+    assert rows[1].title == "T"
+    assert rows[2].extracted_text == "AFTER STRAY END"
+    assert rows[3].extracted_text == "OK"
+
+
 def test_parser_skips_script_style_nav(spark):
     df = spark.createDataFrame(
         [(1, bytearray(b"<html><head><title>T</title><style>x{}</style></head>"

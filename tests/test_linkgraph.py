@@ -24,6 +24,30 @@ def test_relative_links_resolve_to_own_host(resolved):
     assert mismatch == 0
 
 
+def test_resolve_links_normalizes_and_filters(spark):
+    """Protocol-relative hrefs drop; absolute hosts lowercase + port-strip."""
+    links = spark.createDataFrame(
+        [
+            (1, 0, "//cdn.example.com/x"),          # protocol-relative: drop
+            (1, 1, "https://Other.EXAMPLE.com:8443/p"),  # normalize host
+            (1, 2, "/rel/path"),                     # relative: own host
+            (1, 3, "mailto:x@example.com"),          # other scheme: drop
+            (1, 4, "http://plain.org/q"),
+        ],
+        "doc_id long, link_pos int, href string",
+    )
+    pages = spark.createDataFrame([(1, "src.example.com")], "doc_id long, domain string")
+    out = {r.url: r for r in resolve_links(links, pages).collect()}
+    assert set(out) == {
+        "https://Other.EXAMPLE.com:8443/p",
+        "https://src.example.com/rel/path",
+        "http://plain.org/q",
+    }
+    assert out["https://Other.EXAMPLE.com:8443/p"].dst_host == "other.example.com"
+    assert out["https://src.example.com/rel/path"].dst_host == "src.example.com"
+    assert out["http://plain.org/q"].dst_host == "plain.org"
+
+
 def test_host_graph_counts(resolved):
     hg = {(r.src_host, r.dst_host): r.n_links for r in host_graph(resolved).collect()}
     manual = (

@@ -28,6 +28,29 @@ def test_bruteforce_topk_matches_numpy(spark, embeddings):
         assert sub["neighbor_id"].tolist() == exp, ids[qi]
 
 
+def test_bruteforce_gate_falls_back_to_ivf(spark, embeddings):
+    """Above the broadcast cap the exact path must not driver-collect:
+    'ivf' falls back to the distributed path, 'error' raises clearly."""
+    with pytest.raises(ValueError, match="max_corpus_rows"):
+        brute_force_topk(
+            spark, embeddings, embeddings, k=1,
+            max_corpus_rows=10, on_overflow="error",
+        )
+    out = brute_force_topk(
+        spark, embeddings, embeddings, k=1, max_corpus_rows=10, on_overflow="ivf"
+    )
+    # fallback produced a full per-query result set via IVF
+    assert out.select("query_id").distinct().count() == embeddings.count()
+
+
+def test_route_pairs_bound():
+    from ferrobus_spark.routing.products import MAX_ROUTE_PAIRS, route_pairs
+
+    too_many = [(0, i) for i in range(MAX_ROUTE_PAIRS + 1)]
+    with pytest.raises(ValueError, match="MAX_ROUTE_PAIRS"):
+        route_pairs(None, None, None, None, None, too_many, 0, 3)
+
+
 def test_lsh_topk_recall(spark, embeddings):
     exact = brute_force_topk(spark, embeddings, embeddings, k=1).toPandas()
     approx = lsh_topk(spark, embeddings, embeddings, k=1,
