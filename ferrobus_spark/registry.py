@@ -25,12 +25,15 @@ from ferrobus_spark.functions.geo import haversine_sql, lonlat_sql
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
+# value: SQL string, or a zero-arg callable returning one (resolved lazily
+# in oracle_sql() — used by the transit oracles, whose SQL is generated
+# from the independent pure-Python model build at first request)
+ORACLES: dict[str, str | Callable[[], str]] = {}
 
 TILE_RES = 9
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | Callable[[], str] | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if oracle is not None:
@@ -262,4 +265,4 @@ def queries() -> dict[str, QueryFn]:
 def oracle_sql() -> dict[str, str]:
     import ferrobus_spark.registry_ext  # noqa: F401
 
-    return dict(ORACLES)
+    return {k: (v() if callable(v) else v) for k, v in ORACLES.items()}

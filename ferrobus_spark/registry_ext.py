@@ -582,9 +582,39 @@ def q_events_sessionize(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# transit engine products on the synthetic fixture (rows-only here;
-# exactness is enforced by the pytest oracle suite)
+# transit engine products on the synthetic fixture. Four of the six are
+# DRIVER-ORACLE-CHECKED: ferrobus_spark/transit_oracle_sql.py generates
+# DuckDB SQL that recomputes the RAPTOR rounds + product algebra from
+# VALUES CTEs of the independent pure-Python model build (see that
+# module's docstring). detailed_journeys / journey_geojson remain
+# rows-only (leg reconstruction is genuinely non-SQL); their exactness
+# is enforced by the pytest golden suite.
 # ---------------------------------------------------------------------------
+
+
+def _oracle_matrix() -> str:
+    from ferrobus_spark.transit_oracle_sql import matrix_oracle_sql
+
+    return matrix_oracle_sql()
+
+
+def _oracle_range() -> str:
+    from ferrobus_spark.transit_oracle_sql import range_oracle_sql
+
+    return range_oracle_sql()
+
+
+def _oracle_percent() -> str:
+    from ferrobus_spark.transit_oracle_sql import percent_access_oracle_sql
+
+    return percent_access_oracle_sql()
+
+
+def _oracle_iso() -> str:
+    from ferrobus_spark.transit_oracle_sql import isochrone_oracle_sql
+
+    return isochrone_oracle_sql()
+
 
 _MODEL_CACHE: dict[int, object] = {}
 
@@ -622,7 +652,7 @@ def _transit_points(spark):
     return _POINTS_CACHE[key]
 
 
-@register("transit_travel_time_matrix")
+@register("transit_travel_time_matrix", _oracle_matrix)
 def q_transit_matrix(spark, sf_dir):
     from ferrobus_spark.routing import products
 
@@ -631,7 +661,7 @@ def q_transit_matrix(spark, sf_dir):
     return products.travel_time_matrix(spark, tt, model.csr, pts, 8 * 3600, 3)
 
 
-@register("transit_range_pareto")
+@register("transit_range_pareto", _oracle_range)
 def q_transit_range_pareto(spark, sf_dir):
     """Range routing journeys + exact Pareto flags over the fixture."""
     from ferrobus_spark.routing.range import range_routing
@@ -674,7 +704,7 @@ def q_transit_journey_geojson(spark, sf_dir):
     return legs_to_geojson_model(legs, model)
 
 
-@register("transit_percent_access")
+@register("transit_percent_access", _oracle_percent)
 def q_transit_percent_access(spark, sf_dir):
     """Percent-access heat map (A7): departure samples × reachable tiles."""
     import numpy as np
@@ -701,7 +731,7 @@ def q_transit_percent_access(spark, sf_dir):
     )
 
 
-@register("transit_isochrone_tiles")
+@register("transit_isochrone_tiles", _oracle_iso)
 def q_transit_isochrone(spark, sf_dir):
     import numpy as np
     import pandas as pd
