@@ -116,8 +116,41 @@ def q_quality_score(spark, sf_dir):
     )
 
 
-@register("lang_id_pred")  # rows-only: heuristic classifier, pytest-scored
+def _lang_id_oracle() -> str:
+    """DuckDB twin of lang_id_udf: same marker lists (single source of
+    truth), non-overlapping regex counts, first-max-wins tie rule
+    (pandas idxmax over column insertion order ≡ the CASE chain)."""
+    from ferrobus_spark.functions.text import LANG_MARKERS
+
+    langs = list(LANG_MARKERS)  # insertion order = tie priority
+    scores = ", ".join(
+        " + ".join(f"len(regexp_extract_all(p, '{m}'))" for m in LANG_MARKERS[lang])
+        + f" AS {lang}"
+        for lang in langs
+    )
+    whens = []
+    for i, lang in enumerate(langs[:-1]):
+        rest = ", ".join(langs[i + 1 :])
+        cmp_ = f"GREATEST({rest})" if "," in rest else rest
+        whens.append(f"WHEN {lang} >= {cmp_} THEN '{lang}'")
+    return f"""
+    SELECT doc_id,
+           CASE WHEN GREATEST({", ".join(langs)}) = 0 THEN 'und'
+                {" ".join(whens)}
+                ELSE '{langs[-1]}' END AS lang_pred
+    FROM (
+      SELECT doc_id, {scores}
+      FROM (SELECT doc_id,
+                   ' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ' AS p
+            FROM documents)
+    )
+    """
+
+
+@register("lang_id_pred", _lang_id_oracle)
 def q_lang_id_pred(spark, sf_dir):
+    """Heuristic n-gram language ID; oracle = independent SQL restatement
+    of the marker-count + first-max rule (plus pytest accuracy scoring)."""
     return _docs(spark, sf_dir).select(
         "doc_id", lang_id_udf(F.col("text")).alias("lang_pred")
     )
@@ -414,8 +447,53 @@ def q_embedding_neardup(spark, sf_dir):
 # multimodal plumbing (stubbed codecs, real Spark contract)
 # ---------------------------------------------------------------------------
 
-@register("image_metadata")  # rows-only: decode is a deterministic stub
+def _image_metadata_oracle() -> str:
+    """DuckDB twin of the deterministic decode stub: rebuild the page
+    html string in SQL (same template as sources/pages.py), sha256 it,
+    and restate the stub's byte→(width,height,channels,format) rules
+    from the hex digest."""
+    from ferrobus_spark.sources.pages import ref_href_sql
+
+    def byte(i: int) -> str:  # i-th byte (0-based) of the hex digest
+        c1 = f"substr(h, {2 * i + 1}, 1)"
+        c2 = f"substr(h, {2 * i + 2}, 1)"
+        hexd = "'0123456789abcdef'"
+        return (
+            f"((strpos({hexd}, {c1}) - 1) * 16 + strpos({hexd}, {c2}) - 1)"
+        )
+
+    html = (
+        "'<html><head><title>Page ' || CAST(doc_id AS STRING)"
+        " || '</title></head><body><nav>'"
+        " || CASE WHEN doc_id > 0 THEN"
+        " '<a href=\"/page/' || CAST(doc_id - 1 AS STRING) || '\">prev</a>'"
+        " ELSE '' END"
+        " || '<a href=\"/page/' || CAST(doc_id + 1 AS STRING) || '\">next</a>'"
+        f" || '<a href=\"' || {ref_href_sql()} || '\">ref</a></nav><p>'"
+        " || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),"
+        " '>', '&gt;')"
+        " || '</p></body></html>'"
+    )
+    return f"""
+    SELECT doc_id,
+           CAST(64 + {byte(0)} % 192 AS INTEGER) AS width,
+           CAST(64 + {byte(1)} % 192 AS INTEGER) AS height,
+           CAST(CASE WHEN {byte(2)} % 4 <> 0 THEN 3 ELSE 1 END AS INTEGER)
+             AS channels,
+           CASE {byte(3)} % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                ELSE 'webp' END AS format,
+           h AS content_sha256
+    FROM (SELECT doc_id, sha256({html}) AS h FROM documents)
+    """
+
+
+@register("image_metadata", _image_metadata_oracle)
 def q_image_metadata(spark, sf_dir):
+    """Multimodal metadata decode over the binary html column. The codec
+    is a clearly-marked deterministic stub (no PIL in the container);
+    the oracle independently rebuilds the bytes and restates the stub's
+    digest rules, so the Arrow plumbing + byte identity of the binary
+    column are hash-gated end-to-end."""
     from ferrobus_spark.operators.multimodal import decode_metadata
     from ferrobus_spark.sources.pages import pages_table
 

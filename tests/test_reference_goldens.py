@@ -161,3 +161,73 @@ def test_isochrone_wkt_prefix_golden(spark, zhelez_model, zhelez_tt, zhelez_poin
 
     xs = [float(x) for x in re.findall(r"(9[0-9]\.\d+) 5", wkt)]
     assert all(93.39 <= x <= 93.58 for x in xs)
+
+
+def test_multi_feed_zhelez_plus_disjoint(spark, tmp_path_factory):
+    """S3 integration: zhelez + a second, geographically disjoint feed
+    loaded together. The cross-feed dense index must offset the second
+    feed's stops after zhelez's, its (unreachable) routes must build
+    cleanly into the shared timetable, and the zhelez matrix golden must
+    be unchanged — the new stops fail the snap gate, so no transfer or
+    access path can reach them (processor.rs:43-53 multi-feed concat
+    semantics)."""
+    from ferrobus_spark.model.build import build_model
+    from ferrobus_spark.routing import products
+    from ferrobus_spark.routing.points import build_point_tables
+    from ferrobus_spark.routing.timetable import build_timetable_csr
+    from ferrobus_spark.sources.gtfs_csv import load_gtfs_dirs
+    from ferrobus_spark.sources.osm_pbf import street_tables_from_pbf
+
+    d = tmp_path_factory.mktemp("feed2")
+    (d / "stops.txt").write_text(
+        "stop_id,stop_name,stop_lat,stop_lon\n"
+        "X1,Far One,0.01,0.01\nX2,Far Two,0.02,0.01\nX3,Far Three,0.03,0.01\n"
+    )
+    (d / "trips.txt").write_text(
+        "route_id,service_id,trip_id\nXR,XS,XT0\nXR,XS,XT1\n"
+    )
+    (d / "stop_times.txt").write_text(
+        "trip_id,arrival_time,departure_time,stop_id,stop_sequence\n"
+        "XT0,08:00:00,08:00:30,X1,1\nXT0,08:05:00,08:05:30,X2,2\n"
+        "XT0,08:10:00,08:10:30,X3,3\n"
+        "XT1,09:00:00,09:00:30,X1,1\nXT1,09:05:00,09:05:30,X2,2\n"
+        "XT1,09:10:00,09:10:30,X3,3\n"
+    )
+    (d / "calendar.txt").write_text(
+        "service_id,monday,tuesday,wednesday,thursday,friday,saturday,sunday,"
+        "start_date,end_date\nXS,1,1,1,1,1,1,1,20240101,20241231\n"
+    )
+
+    tabs = load_gtfs_dirs(spark, [GTFS, str(d)])
+    n_zhelez = load_gtfs_dirs(spark, GTFS)["gtfs_stops"].count()
+    stops = tabs["gtfs_stops"].orderBy("file_idx").collect()
+    assert len(stops) == n_zhelez + 3
+    # running offset: feed2 stops take the next three dense slots in order
+    assert [s.stop_id for s in stops[n_zhelez:]] == ["X1", "X2", "X3"]
+    assert [s.file_idx for s in stops[n_zhelez:]] == [
+        n_zhelez, n_zhelez + 1, n_zhelez + 2,
+    ]
+
+    streets = street_tables_from_pbf(spark, PBF)
+    tabs.update({k: v.localCheckpoint() for k, v in streets.items()})
+    model = build_model(spark, tabs, "2024-01-11", max_transfer_time=600)
+    tt = build_timetable_csr(model.tables)
+    # the disjoint feed's stops are snap-gated out of the street network
+    far = {n_zhelez, n_zhelez + 1, n_zhelez + 2}
+    n2s = {
+        int(r.stop_idx) for r in model["node_to_stop"].select("stop_idx").collect()
+    }
+    assert not (far & n2s)
+
+    pts = build_point_tables(
+        spark,
+        spark.createDataFrame(
+            [(0, 93.532134, 56.252619), (1, 93.499159, 56.242574)],
+            "point_id long, lon double, lat double",
+        ),
+        model["street_nodes"], model["node_to_stop"], model.csr,
+        max_walking_time=1200, max_stops=10,
+    )
+    rows = products.travel_time_matrix(spark, tt, model.csr, pts, 8 * 3600, 2).collect()
+    m = {(r.origin_id, r.dest_id): r.travel_time for r in rows}
+    assert m[(0, 1)] == 1044 and m[(1, 0)] == 1253  # goldens unchanged
