@@ -88,8 +88,13 @@ def main() -> None:
             .agg(F.count("*").alias("n_pages"))
         )
 
+    # one untimed warmup: the first 50M-row pass pays C2-JIT compilation of
+    # the generated hex/PIP code (measured 4x slower than steady state); a
+    # long-lived cluster job amortizes that away, so exclude it like the
+    # per-query warmup above, then take min-of-3 timed runs
+    big_job().write.mode("overwrite").format("noop").save()
     big_best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         big_job().write.mode("overwrite").format("noop").save()
         big_best = min(big_best, time.perf_counter() - t0)
