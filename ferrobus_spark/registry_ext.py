@@ -156,8 +156,54 @@ def q_lang_id_pred(spark, sf_dir):
     )
 
 
-@register("doc_fingerprint")  # rows-only: hash engine-internal
+def _fingerprint_oracle() -> str:
+    """DuckDB twin of fingerprint_udf: per-window FNV-style polynomial
+    rolling hash over 8-byte windows, 4 smallest window hashes, golden-
+    ratio mix, XOR combine — all with explicit mod-2^64 arithmetic.
+
+    uint64 wraparound is emulated in HUGEINT: ``h*base`` fits (2^64 *
+    2^40 < 2^127) so a plain ``% 2^64`` works per Horner step, while the
+    final ``h * 0x9E3779B97F4A7C15`` can overflow HUGEINT and is done in
+    32-bit limbs. Bytes come from ``unicode(substr(...))`` — valid
+    because the corpus is ASCII (code point == UTF-8 byte; the hash gate
+    would surface any drift) and every text is ≥ 8 chars (no pad path).
+    """
+    base = 1099511628211
+    m64 = 1 << 64
+    mix = 0x9E3779B97F4A7C15
+    h = "CAST(0 AS HUGEINT)"
+    for j in range(8):
+        byte = f"unicode(substr(text, CAST(i + {j + 1} AS INT), 1))"
+        h = f"(({h} * {base} + {byte}) % {m64}::HUGEINT)"
+    return f"""
+    SELECT doc_id,
+           CAST(CASE WHEN x >= {1 << 63}::HUGEINT
+                     THEN x - {m64}::HUGEINT ELSE x END AS BIGINT)
+             AS fingerprint
+    FROM (
+      SELECT doc_id, CAST(bit_xor(CAST(m AS UBIGINT)) AS HUGEINT) AS x
+      FROM (
+        SELECT doc_id,
+               ((h % {1 << 32}) * {mix}::HUGEINT
+                + (((h // {1 << 32}) * {mix}::HUGEINT) % {1 << 32})
+                  * {1 << 32}::HUGEINT) % {m64}::HUGEINT AS m
+        FROM (
+          SELECT doc_id, h,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+          FROM (
+            SELECT doc_id, {h} AS h
+            FROM documents, unnest(range(0, length(text) - 7)) AS t(i)
+          )
+        ) WHERE rn <= 4
+      ) GROUP BY doc_id
+    )
+    """
+
+
+@register("doc_fingerprint", _fingerprint_oracle)
 def q_doc_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint; oracle = independent mod-2^64
+    restatement of the winnowing rule in DuckDB SQL."""
     return _docs(spark, sf_dir).select(
         "doc_id", fingerprint_udf(F.col("text")).alias("fingerprint")
     )
@@ -308,7 +354,68 @@ def q_host_pagerank(spark, sf_dir):
 # dedup (LSH families — rows-only; exactness pytest-verified vs brute force)
 # ---------------------------------------------------------------------------
 
-@register("minhash_dup_pairs")
+def _minhash_oracle() -> str:
+    """DuckDB twin of the minhash→banded-LSH candidate query: 5-byte
+    rolling window hashes (mod 2^64) → x mod (2^61-1) → 64 universal
+    permutations (a,b embedded as VALUES — deterministic from the fixed
+    seed) → per-doc minima → pairs sharing a FULLY-EQUAL 4-row band →
+    signature agreement ≥ 32/64 (≡ est_jaccard ≥ 0.5).
+
+    One deliberate restatement: the engine buckets bands by Spark's
+    Murmur3 `F.hash` of the slice; the oracle uses band-slice EQUALITY.
+    They differ only on a 32-bit hash collision between unequal slices
+    that also passes the ≥0.5 agreement filter — not present in this
+    deterministic corpus (the gate would surface it). ASCII/len≥5
+    corpus assumptions as in the fingerprint oracle."""
+    from ferrobus_spark.operators.dedup import MERSENNE, _minhash_params
+
+    a, b = _minhash_params(64)
+    params = ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(64)
+    )
+    m64 = 1 << 64
+    h = "CAST(0 AS HUGEINT)"
+    for j in range(5):
+        byte = f"unicode(substr(text, CAST(i + {j + 1} AS INT), 1))"
+        h = f"(({h} * 1099511628211 + {byte}) % {m64}::HUGEINT)"
+    return f"""
+    WITH params(hidx, a, b) AS MATERIALIZED (VALUES {params}),
+    win AS MATERIALIZED (
+      -- DISTINCT is safe (a min over a multiset equals the min over its
+      -- set) and cuts the 64-permutation cross product below
+      SELECT DISTINCT doc_id, ({h}) % {MERSENNE}::HUGEINT AS x
+      FROM documents, unnest(range(0, length(text) - 4)) AS t(i)
+    ),
+    sigs AS MATERIALIZED (
+      -- the engine computes (a*x + b) in WRAPPING uint64 (numpy), so the
+      -- permutation is really ((a*x mod 2^64) + b) mod 2^64, then mod M
+      SELECT w.doc_id, p.hidx,
+             MIN((((p.a * w.x) % {m64}::HUGEINT + p.b) % {m64}::HUGEINT)
+                 % {MERSENNE}::HUGEINT) AS sig
+      FROM win w CROSS JOIN params p
+      GROUP BY w.doc_id, p.hidx
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT sa.doc_id AS id_a, sb.doc_id AS id_b
+        FROM sigs sa
+        JOIN sigs sb ON sb.hidx = sa.hidx AND sb.sig = sa.sig
+                    AND sa.doc_id < sb.doc_id
+        GROUP BY sa.doc_id, sb.doc_id, sa.hidx // 4
+        HAVING COUNT(*) = 4
+      )
+    )
+    SELECT c.id_a, c.id_b
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b AND sb.hidx = sa.hidx
+                AND sb.sig = sa.sig
+    GROUP BY c.id_a, c.id_b
+    HAVING COUNT(*) >= 32
+    """
+
+
+@register("minhash_dup_pairs", _minhash_oracle)
 def q_minhash_dup_pairs(spark, sf_dir):
     from ferrobus_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
 
@@ -316,7 +423,57 @@ def q_minhash_dup_pairs(spark, sf_dir):
     return minhash_lsh_pairs(sigs, threshold=0.5).select("id_a", "id_b")
 
 
-@register("simhash_near_pairs")
+def _simhash_oracle() -> str:
+    """DuckDB twin of simhash_col + simhash_near_pairs: 4-byte rolling
+    window hashes (mod 2^64), per-doc DISTINCT shingles, golden-ratio
+    mix, 64 majority bit votes, then BRUTE-FORCE Hamming ≤ 3 pairs.
+    Brute force is provably identical to the engine's 4×16-bit
+    pigeonhole banding (hamming ≤ 3 ⇒ ≥ 1 band equal), so the oracle
+    independently checks both the signature and the banding recall.
+    ASCII/len≥4 corpus assumptions as in the fingerprint oracle."""
+    m64 = 1 << 64
+    mix = 0x9E3779B97F4A7C15
+    h = "CAST(0 AS HUGEINT)"
+    for j in range(4):
+        byte = f"unicode(substr(text, CAST(i + {j + 1} AS INT), 1))"
+        h = f"(({h} * 1099511628211 + {byte}) % {m64}::HUGEINT)"
+    bit_sums = ", ".join(
+        f"SUM(CAST((m // {1 << b}::HUGEINT) % 2 AS BIGINT)) AS b{b}"
+        for b in range(64)
+    )
+    value = " + ".join(
+        f"CASE WHEN 2 * b{b} > n THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END"
+        for b in range(64)
+    )
+    return f"""
+    WITH uniq AS MATERIALIZED (
+      SELECT DISTINCT doc_id, {h} AS h
+      FROM documents, unnest(range(0, length(text) - 3)) AS t(i)
+    ),
+    mixed AS MATERIALIZED (
+      SELECT doc_id,
+             ((h % {1 << 32}) * {mix}::HUGEINT
+              + (((h // {1 << 32}) * {mix}::HUGEINT) % {1 << 32})
+                * {1 << 32}::HUGEINT) % {m64}::HUGEINT AS m
+      FROM uniq
+    ),
+    votes AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS n, {bit_sums} FROM mixed GROUP BY doc_id
+    ),
+    sims AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(CASE WHEN v >= {1 << 63}::HUGEINT
+                       THEN v - {m64}::HUGEINT ELSE v END AS BIGINT) AS s
+      FROM (SELECT doc_id, ({value}) AS v FROM votes)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s, b.s)) <= 3
+    """
+
+
+@register("simhash_near_pairs", _simhash_oracle)
 def q_simhash_near_pairs(spark, sf_dir):
     from ferrobus_spark.operators.dedup import simhash_col, simhash_near_pairs
 
