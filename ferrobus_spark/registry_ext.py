@@ -845,6 +845,12 @@ def _oracle_percent() -> str:
     return percent_access_oracle_sql()
 
 
+def _oracle_stats() -> str:
+    from ferrobus_spark.transit_oracle_sql import stats_oracle_sql
+
+    return stats_oracle_sql()
+
+
 def _oracle_iso() -> str:
     from ferrobus_spark.transit_oracle_sql import isochrone_oracle_sql
 
@@ -894,6 +900,25 @@ def q_transit_matrix(spark, sf_dir):
     model, tt = _transit_ctx(spark)
     pts = _transit_points(spark)
     return products.travel_time_matrix(spark, tt, model.csr, pts, 8 * 3600, 3)
+
+
+@register("transit_travel_time_stats", _oracle_stats)
+def q_transit_stats(spark, sf_dir):
+    """travel_time_statistics product (A6/A10): per-origin mean + exact
+    midpoint median with the 75% reachability gate. Float-deterministic:
+    per-origin int64 sums stay below 2^53 so both engines' one division
+    is exact; the median midpoint likewise."""
+    from ferrobus_spark.routing import products
+
+    model, tt = _transit_ctx(spark)
+    pts = _transit_points(spark)
+    mean = products.travel_time_statistics(
+        spark, tt, model.csr, pts, 8 * 3600, 3, stat="mean"
+    ).selectExpr("origin_id", "stat_value AS mean_tt")
+    med = products.travel_time_statistics(
+        spark, tt, model.csr, pts, 8 * 3600, 3, stat="median"
+    ).selectExpr("origin_id", "stat_value AS median_tt")
+    return mean.join(med, "origin_id")
 
 
 @register("transit_range_pareto", _oracle_range)

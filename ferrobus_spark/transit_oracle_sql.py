@@ -346,6 +346,37 @@ def _iso_origin():
     return to.make_transit_point(model, lon, lat, 1200, 10)
 
 
+def stats_oracle_sql(
+    departure: int = 8 * 3600,
+    max_transfers: int = 3,
+    threshold: float = 0.75,
+) -> str:
+    """travel_time_statistics twin: per-origin mean + exact-midpoint
+    median with the reachability gate, over the same matrix label
+    algebra. Float-safe: per-origin sums of ≤ n_points int64 travel
+    times are exactly representable doubles, so the one division (and
+    the midpoint half-sum) is order-independent in both engines."""
+    _model, _rs, _st, _tr, pts = _ctx()
+    n_points = len(pts)
+    matrix = matrix_oracle_sql(departure, max_transfers)
+    return f"""
+    WITH mat AS MATERIALIZED (
+      {matrix}
+    )
+    SELECT origin_id,
+           CASE WHEN n < {threshold} * {n_points} THEN NULL ELSE mean_tt END
+             AS mean_tt,
+           CASE WHEN n < {threshold} * {n_points} THEN NULL ELSE median_tt END
+             AS median_tt
+    FROM (
+      SELECT origin_id, COUNT(*) AS n,
+             AVG(travel_time) AS mean_tt,
+             quantile_cont(travel_time, 0.5) AS median_tt
+      FROM mat GROUP BY origin_id
+    )
+    """
+
+
 def _grid_point_ctes(origin_pid: int = 0) -> tuple[list[tuple], list[tuple], tuple]:
     """(egress, walking_by_cell, (a_stop, a_secs)) for the iso grid."""
     origin = _iso_origin()
