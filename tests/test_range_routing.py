@@ -126,3 +126,51 @@ def test_warm_start_identical(spark, spark_model, timetable, spark_points):
     cold = cold.sort_values(key).reset_index(drop=True)
     warm = warm.sort_values(key).reset_index(drop=True)
     assert cold.equals(warm)
+
+
+def test_warm_start_tie_semantics():
+    """Pin the documented rRAPTOR tie caveat (range.py docstring): when
+    an EARLIER departure exactly ties a later departure's arrival, the
+    warm start reports the persisted transfers count (reference parity —
+    best/best_k persist across departures) while the cold per-departure
+    path recomputes it. Arrivals must be identical either way.
+
+    Hand-built timetable: slow direct route 0→2 (dep 100, arr 400) vs a
+    two-leg path 0→1→2 (deps 250/320, arr 400) — the later departure's
+    2-round journey ties the earlier departure's 1-round journey."""
+    import numpy as np
+
+    from ferrobus_spark.routing.raptor import raptor, rraptor
+    from ferrobus_spark.routing.timetable import INF, Timetable
+
+    tt = Timetable(
+        n_stops=3,
+        route_num_trips=np.array([1, 1, 1], np.int64),
+        route_num_stops=np.array([2, 2, 2], np.int64),
+        route_stops_start=np.array([0, 2, 4], np.int64),
+        route_trips_start=np.array([0, 2, 4], np.int64),
+        route_stops_flat=np.array([0, 2, 0, 1, 1, 2], np.int64),
+        arr_flat=np.array([100, 400, 250, 300, 320, 400], np.int64),
+        dep_flat=np.array([100, 400, 250, 300, 320, 400], np.int64),
+        sr_indptr=np.array([0, 2, 4, 6], np.int64),
+        sr_routes=np.array([0, 1, 1, 2, 0, 2], np.int64),
+        tr_indptr=np.array([0, 0, 0, 0], np.int64),
+        tr_target=np.array([], np.int64),
+        tr_secs=np.array([], np.int64),
+    )
+    warm = dict(
+        (dep, (arr, k))
+        for dep, arr, k in rraptor(tt, 0, 2, 0, 300, 3)
+    )
+    cold = {}
+    for dep in (100, 250):
+        best, best_k = raptor(tt, 0, dep, 3, target=2)
+        cold[dep] = (int(best[2]), int(best_k[2]))
+    # arrivals identical in both regimes
+    assert {d: a for d, (a, _k) in warm.items()} == {100: 400, 250: 400}
+    assert {d: a for d, (a, _k) in cold.items()} == {100: 400, 250: 400}
+    # the tie: warm persists the later departure's 2-transfer count for
+    # dep 100 (reference semantics); cold recomputes 1 for it
+    assert warm[250][1] == 2 and cold[250][1] == 2
+    assert warm[100][1] == 2  # persisted best_k — reference parity
+    assert cold[100][1] == 1  # per-departure recompute
