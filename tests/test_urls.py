@@ -82,3 +82,30 @@ def test_canonical_matches_duckdb_oracle_expectation(spark):
             for r in queries()["url_canonicalize"](spark, d).collect()
         }
     assert got == want
+
+
+def test_canonicalization_idempotent_fuzz(spark):
+    """canon(canon(u)) == canon(u) over a seeded corpus of URL shapes —
+    a canonicalizer that isn't idempotent corrupts dedup keys on
+    re-crawled (already-canonical) URLs."""
+    import random
+
+    rng = random.Random(20240817)
+    schemes = ["http", "HTTP", "https", "HTTPS"]
+    hosts = ["Example.COM", "a.b.c", "X--y.example.ORG", "h"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/A/b", "/A/b/", "/p//q", "/%7Euser"]
+    queries = ["", "?", "?b=2&A=1", "?z&y&x", "?a=1&a=0"]
+    frags = ["", "#f", "#A/b?c"]
+    urls = [
+        rng.choice(schemes) + "://" + rng.choice(hosts) + rng.choice(ports)
+        + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = canonical_url_col("u").alias("c1")
+    out = df.select("u", once).select(
+        "u", "c1", canonical_url_col(F.col("c1")).alias("c2")
+    ).collect()
+    bad = [(r.u, r.c1, r.c2) for r in out if r.c1 != r.c2]
+    assert not bad, bad[:5]
