@@ -69,3 +69,35 @@ def test_parser_skips_script_style_nav(spark):
     assert r.extracted_text == "BODY & MORE"
     assert r.title == "T"
     assert list(r.links) == ["/x"]
+
+
+def test_parser_survives_tag_soup(spark):
+    """Hostile-input fuzz: random malformed tag soup must parse without
+    raising, and content outside skip tags must never be silently lost
+    (the skip stack has to re-balance whatever the nesting)."""
+    import random
+
+    rng = random.Random(20240817)
+    # Dangling <script>/<style>/<title>/<!-- openers legitimately swallow
+    # everything after them (HTML5 raw-text states), so skip-context
+    # units appear balanced; everything else may dangle freely —
+    # unmatched END tags and a bare <head> (implied-closed by <body>)
+    # are exactly the desync hazards the skip stack must absorb.
+    frags = [
+        "<script>var a;</script>", "<style>x{}</style>", "<nav>menu</nav>",
+        "<head><title>T</title></head>", "<head>",
+        "</script>", "</style>", "</nav>", "</head>", "</body>", "</html>",
+        "<b>", "</i>", "<a href='/x'>", "</a>", "< notatag",
+        "<!doctype html>", "<!-- c -->", "&amp;", "&#65;", "TEXT",
+        "plain words ", "<img src=x>",
+    ]
+    docs = []
+    for i in range(200):
+        soup = "".join(rng.choice(frags) for _ in range(rng.randint(1, 40)))
+        # a sentinel OUTSIDE any skip context must always survive
+        docs.append((i, bytearray((soup + "<body>SENTINEL" + str(i)).encode())))
+    df = spark.createDataFrame(docs, "doc_id long, html binary")
+    rows = parse_html(df).collect()
+    assert len(rows) == 200
+    for r in rows:
+        assert f"SENTINEL{r.doc_id}" in r.extracted_text, r.doc_id
