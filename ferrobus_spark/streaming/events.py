@@ -104,6 +104,50 @@ def stateful_first_seen(events: DataFrame) -> DataFrame:
     )
 
 
+def url_first_seen(pages: DataFrame) -> DataFrame:
+    """Streaming crawl-frontier dedup: first fetch per CANONICAL url.
+
+    The pages firehose re-crawls the same resource under case/port/
+    fragment variants; keying the state store on
+    ``functions.urls.canonical_url_col`` collapses them and emits
+    exactly one row per canonical url — the earliest (warc_ts, url)
+    fetch — across micro-batches. Same state shape as
+    :func:`stateful_first_seen`, keyed by a derived column."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ferrobus_spark.functions.urls import canonical_url_col
+
+    canon = pages.withColumn("canon_url", canonical_url_col(F.col("url")))
+    out_schema = "canon_url STRING, first_ts TIMESTAMP, first_url STRING"
+    state_schema = "seen BOOLEAN"
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists and state.get[0]:
+            for _ in pdf_iter:
+                pass
+            return
+        best = None
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["warc_ts", "url"])
+            head = pdf.iloc[0]
+            if best is None or (head["warc_ts"], head["url"]) < (
+                best["warc_ts"], best["url"]
+            ):
+                best = head
+        if best is not None:
+            state.update((True,))
+            yield pd.DataFrame({
+                "canon_url": [key[0]],
+                "first_ts": [best["warc_ts"]],
+                "first_url": [best["url"]],
+            })
+
+    return canon.groupBy("canon_url").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> list:

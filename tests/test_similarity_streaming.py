@@ -155,3 +155,53 @@ def test_streaming_session_windows(spark, sf_dir, tmp_path):
     # session totals must cover every event exactly once
     total = sum(r.n_events for r in rows)
     assert total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+
+def test_streaming_url_first_seen(spark, sf_dir, tmp_path):
+    """Streaming crawl-frontier dedup ≡ batch min_by per canonical url:
+    a re-crawl of every page under messier URLs (upper-cased host, :443,
+    fragment) arrives in a LATER file; the stateful operator must emit
+    one row per canonical url with the ORIGINAL fetch."""
+    from pyspark.sql import functions as F
+
+    from ferrobus_spark.functions.urls import canonical_url_col
+    from ferrobus_spark.sources.pages import pages_table
+    from ferrobus_spark.streaming.events import run_available_now, url_first_seen
+
+    pages = pages_table(spark, sf_dir).select("url", "warc_ts").limit(200).localCheckpoint()
+    recrawl = pages.select(
+        F.concat(
+            F.lit("HTTPS://"),
+            F.upper(F.regexp_extract("url", r"^https://([^/]+)", 1)),
+            F.lit(":443"),
+            F.regexp_extract("url", r"^https://[^/]+(.*)$", 1),
+            F.lit("#utm"),
+        ).alias("url"),
+        (F.col("warc_ts") + F.expr("INTERVAL 7 DAYS")).alias("warc_ts"),
+    )
+    src = tmp_path / "pages_stream"
+    pages.coalesce(1).write.mode("overwrite").parquet(str(src / "f0"))
+    recrawl.coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+
+    stream = (
+        spark.readStream.schema("url STRING, warc_ts TIMESTAMP")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    got = {
+        r.canon_url: (r.first_ts, r.first_url)
+        for r in run_available_now(url_first_seen(stream), "url_first_seen", "append")
+    }
+
+    batch = (
+        pages.unionByName(recrawl)
+        .withColumn("canon_url", canonical_url_col(F.col("url")))
+        .groupBy("canon_url")
+        .agg(F.min(F.struct("warc_ts", "url")).alias("m"))
+        .select("canon_url", F.col("m.warc_ts").alias("first_ts"), F.col("m.url").alias("first_url"))
+    )
+    exp = {r.canon_url: (r.first_ts, r.first_url) for r in batch.collect()}
+    assert got == exp
+    assert len(got) == 200  # every re-crawl collapsed onto its original
+    assert all(u.startswith("https://") and "#" not in u for u in got)
