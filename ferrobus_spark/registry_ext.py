@@ -644,6 +644,45 @@ def _image_metadata_oracle() -> str:
     """
 
 
+def _frame_samples_oracle() -> str:
+    """DuckDB twin of sample_frames: the stub chunks the binary into
+    256-byte frames, samples every 4th, caps at 8, and content-addresses
+    each with sha256. Chunk j of the sampled sequence starts at byte
+    1024*j; ASCII html ⇒ substr char ranges are byte ranges."""
+    from ferrobus_spark.sources.pages import ref_href_sql
+
+    html = (
+        "'<html><head><title>Page ' || CAST(doc_id AS STRING)"
+        " || '</title></head><body><nav>'"
+        " || CASE WHEN doc_id > 0 THEN"
+        " '<a href=\"/page/' || CAST(doc_id - 1 AS STRING) || '\">prev</a>'"
+        " ELSE '' END"
+        " || '<a href=\"/page/' || CAST(doc_id + 1 AS STRING) || '\">next</a>'"
+        f" || '<a href=\"' || {ref_href_sql()} || '\">ref</a></nav><p>'"
+        " || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),"
+        " '>', '&gt;')"
+        " || '</p></body></html>'"
+    )
+    branches = " UNION ALL ".join(
+        f"""SELECT doc_id, CAST({j} AS INTEGER) AS frame_idx,
+                   sha256(substr(h, {1024 * j + 1}, 256)) AS frame_sha256
+            FROM pages WHERE length(h) > {1024 * j}"""
+        for j in range(8)
+    )
+    return f"WITH pages AS (SELECT doc_id, {html} AS h FROM documents) {branches}"
+
+
+@register("video_frame_samples", _frame_samples_oracle)
+def q_video_frame_samples(spark, sf_dir):
+    """Multimodal frame sampling over the binary column (stub framing,
+    real row-explosion shape); oracle restates the chunk/stride/cap
+    rules over the SQL-rebuilt bytes."""
+    from ferrobus_spark.operators.multimodal import sample_frames
+    from ferrobus_spark.sources.pages import pages_table
+
+    return sample_frames(pages_table(spark, sf_dir), binary_col="html")
+
+
 @register("image_metadata", _image_metadata_oracle)
 def q_image_metadata(spark, sf_dir):
     """Multimodal metadata decode over the binary html column. The codec
