@@ -101,6 +101,53 @@ def extract_features(df: DataFrame, binary_col: str = "html", id_col: str = "doc
     return df.select(id_col, binary_col).mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("resized", T.BinaryType()),
+    T.StructField("out_width", T.IntegerType()),
+    T.StructField("out_height", T.IntegerType()),
+])
+
+
+def resize_images(df: DataFrame, binary_col: str = "html", id_col: str = "doc_id",
+                  width: int = 64, height: int = 64,
+                  require_real_codecs: bool = False) -> DataFrame:
+    """binary image column → resized binary at (width, height).
+
+    STUB codec (clearly marked): production is
+    ``PIL.Image.open(...).resize((w, h)).tobytes()``; here the
+    "resample" is a deterministic stride-sample of the payload bytes to
+    exactly ``width*height`` output bytes (wrapping when the payload is
+    shorter), so the Spark contract — Arrow batch in, fixed-size binary
+    out, one row per image — is real and the output is content-derived
+    and reproducible.
+    """
+    if require_real_codecs and not HAVE_CODECS:
+        raise NotImplementedError(
+            "real image resize requires PIL/ffmpeg — not present in this environment"
+        )
+    out_n = width * height
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for i, payload in zip(pdf[id_col], pdf[binary_col]):
+                b = bytes(payload) if payload is not None else b"\x00"
+                if not b:
+                    b = b"\x00"
+                idx = (np.arange(out_n, dtype=np.int64) * len(b)) // out_n
+                blobs.append(np.frombuffer(b, np.uint8)[idx].tobytes())
+                ids.append(int(i))
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "resized": blobs,
+                "out_width": np.full(len(ids), width, np.int32),
+                "out_height": np.full(len(ids), height, np.int32),
+            })
+
+    return df.select(id_col, binary_col).mapInPandas(kernel, RESIZE_SCHEMA)
+
+
 def sample_frames(df: DataFrame, binary_col: str = "html", id_col: str = "doc_id",
                   every_n: int = 4, max_frames: int = 8) -> DataFrame:
     """video binary → sampled frame rows (STUB framing: fixed-size chunks).

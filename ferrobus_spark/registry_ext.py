@@ -683,6 +683,58 @@ def q_video_frame_samples(spark, sf_dir):
     return sample_frames(pages_table(spark, sf_dir), binary_col="html")
 
 
+def _resize_oracle() -> str:
+    """DuckDB twin of the resize stub: stride-sample the SQL-rebuilt
+    page bytes to 64*64 output bytes (idx j -> floor(j*len/4096)),
+    compare by md5 (the driver hash-compares values; a 4 KB blob per
+    row is pointless when md5 equality is byte-equality evidence)."""
+    from ferrobus_spark.sources.pages import ref_href_sql
+
+    html = (
+        "'<html><head><title>Page ' || CAST(doc_id AS STRING)"
+        " || '</title></head><body><nav>'"
+        " || CASE WHEN doc_id > 0 THEN"
+        " '<a href=\"/page/' || CAST(doc_id - 1 AS STRING) || '\">prev</a>'"
+        " ELSE '' END"
+        " || '<a href=\"/page/' || CAST(doc_id + 1 AS STRING) || '\">next</a>'"
+        f" || '<a href=\"' || {ref_href_sql()} || '\">ref</a></nav><p>'"
+        " || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),"
+        " '>', '&gt;')"
+        " || '</p></body></html>'"
+    )
+    resized = (
+        "array_to_string(list_transform(range(4096), "
+        "j -> substr(h, CAST((j * length(h)) // 4096 AS INT) + 1, 1)), '')"
+    )
+    return f"""
+    SELECT doc_id,
+           CAST(64 AS INTEGER) AS out_width, CAST(64 AS INTEGER) AS out_height,
+           md5({resized}) AS resized_md5
+    FROM (SELECT doc_id, {html} AS h FROM documents)
+    """
+
+
+@register("image_resize_hash", _resize_oracle)
+def q_image_resize_hash(spark, sf_dir):
+    """Multimodal resize (stub resample, real Arrow contract): 64x64
+    output bytes per image, driver-compared via md5 against the oracle's
+    SQL-rebuilt stride sample."""
+    from ferrobus_spark.operators.multimodal import resize_images
+    from ferrobus_spark.sources.pages import pages_table
+
+    return resize_images(pages_table(spark, sf_dir), binary_col="html").select(
+        "doc_id", "out_width", "out_height", F.md5("resized").alias("resized_md5")
+    )
+
+
+@register("image_features")  # rows-only: float32 vectors; NumPy-twin pytest
+def q_image_features(spark, sf_dir):
+    from ferrobus_spark.operators.multimodal import extract_features
+    from ferrobus_spark.sources.pages import pages_table
+
+    return extract_features(pages_table(spark, sf_dir), binary_col="html")
+
+
 @register("image_metadata", _image_metadata_oracle)
 def q_image_metadata(spark, sf_dir):
     """Multimodal metadata decode over the binary html column. The codec

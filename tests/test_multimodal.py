@@ -51,3 +51,24 @@ def test_sample_frames_shape_and_hashes(spark, pages):
 def test_decode_requires_real_codecs_gate(spark, pages):
     with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
         decode_metadata(pages, binary_col="html", require_real_codecs=True)
+
+
+def test_resize_images_stride_sample(spark, pages):
+    from ferrobus_spark.operators.multimodal import resize_images
+
+    rows = {r.doc_id: r for r in resize_images(pages).collect()}
+    src = {r.doc_id: bytes(r.html) for r in pages.select("doc_id", "html").collect()}
+    assert set(rows) == set(src)
+    for did, b in src.items():
+        out = bytes(rows[did].resized)
+        assert len(out) == 64 * 64
+        idx = (np.arange(64 * 64, dtype=np.int64) * len(b)) // (64 * 64)
+        assert out == np.frombuffer(b, np.uint8)[idx].tobytes(), did
+        assert (rows[did].out_width, rows[did].out_height) == (64, 64)
+
+
+def test_resize_requires_real_codecs_gate(spark, pages):
+    from ferrobus_spark.operators.multimodal import resize_images
+
+    with pytest.raises(NotImplementedError, match="PIL/ffmpeg"):
+        resize_images(pages, require_real_codecs=True)
