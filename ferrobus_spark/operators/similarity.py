@@ -226,7 +226,7 @@ def ivf_topk(
     (deterministic seed).
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     train = corpus.select(
         id_col, array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")

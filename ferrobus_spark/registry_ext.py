@@ -22,7 +22,6 @@ from ferrobus_spark.functions.text import (
     lang_id_udf,
     n_bpe_tokens_col,
     n_words_col,
-    quality_cols,
 )
 from ferrobus_spark.registry import _docs, _read, register
 
