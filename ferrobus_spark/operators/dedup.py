@@ -142,7 +142,9 @@ def minhash_signatures(
                 "signature": list(sigs.astype(np.int64)),
             })
 
-    return df.select(id_col, text_col).mapInPandas(kernel, sig_t)
+    from ferrobus_spark.plans.partitioning import spread_for_kernel
+
+    return spread_for_kernel(df.select(id_col, text_col)).mapInPandas(kernel, sig_t)
 
 
 def minhash_lsh_pairs(
@@ -240,7 +242,9 @@ def simhash_col(df: DataFrame, id_col="doc_id", text_col="text", shingle: int = 
             vals = (bits << bit_idx[None, :]).sum(axis=1, dtype=np.uint64)
             yield pd.DataFrame({"id": ids, "simhash": vals.astype(np.int64)})
 
-    return df.select(id_col, text_col).mapInPandas(kernel, out_t)
+    from ferrobus_spark.plans.partitioning import spread_for_kernel
+
+    return spread_for_kernel(df.select(id_col, text_col)).mapInPandas(kernel, out_t)
 
 
 def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -116,7 +116,9 @@ def parse_html(
             out["links"] = [l for _t, _ti, l in parsed]
             yield out
 
-    return df.select(*id_cols, html_col).mapInPandas(kernel, schema)
+    from ferrobus_spark.plans.partitioning import spread_for_kernel
+
+    return spread_for_kernel(df.select(*id_cols, html_col)).mapInPandas(kernel, schema)
 
 
 def extract_links(

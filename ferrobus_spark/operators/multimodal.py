@@ -74,7 +74,9 @@ def decode_metadata(df: DataFrame, binary_col: str = "html", id_col: str = "doc_
                 columns=["doc_id", "width", "height", "channels", "format", "content_sha256"],
             )
 
-    return df.select(id_col, binary_col).mapInPandas(kernel, IMAGE_META_SCHEMA)
+    from ferrobus_spark.plans.partitioning import spread_for_kernel
+
+    return spread_for_kernel(df.select(id_col, binary_col)).mapInPandas(kernel, IMAGE_META_SCHEMA)
 
 
 def extract_features(df: DataFrame, binary_col: str = "html", id_col: str = "doc_id",
@@ -97,7 +99,9 @@ def extract_features(df: DataFrame, binary_col: str = "html", id_col: str = "doc
                 feats.append(v.tolist())
             yield pd.DataFrame({"doc_id": ids, "feature": feats})
 
-    return df.select(id_col, binary_col).mapInPandas(kernel, FEATURE_SCHEMA)
+    from ferrobus_spark.plans.partitioning import spread_for_kernel
+
+    return spread_for_kernel(df.select(id_col, binary_col)).mapInPandas(kernel, FEATURE_SCHEMA)
 
 
 RESIZE_SCHEMA = T.StructType([
@@ -144,7 +148,9 @@ def resize_images(df: DataFrame, binary_col: str = "html", id_col: str = "doc_id
                 "out_height": np.full(len(ids), height, np.int32),
             })
 
-    return df.select(id_col, binary_col).mapInPandas(kernel, RESIZE_SCHEMA)
+    from ferrobus_spark.plans.partitioning import spread_for_kernel
+
+    return spread_for_kernel(df.select(id_col, binary_col)).mapInPandas(kernel, RESIZE_SCHEMA)
 
 
 def sample_frames(df: DataFrame, binary_col: str = "html", id_col: str = "doc_id",
@@ -166,4 +172,6 @@ def sample_frames(df: DataFrame, binary_col: str = "html", id_col: str = "doc_id
                     rows.append((int(i), idx, hashlib.sha256(ch).hexdigest()))
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_sha256"])
 
-    return df.select(id_col, binary_col).mapInPandas(kernel, FRAME_SCHEMA)
+    from ferrobus_spark.plans.partitioning import spread_for_kernel
+
+    return spread_for_kernel(df.select(id_col, binary_col)).mapInPandas(kernel, FRAME_SCHEMA)

@@ -93,7 +93,9 @@ def brute_force_topk(
                         break
             yield pd.DataFrame(rows, columns=["query_id", "neighbor_id", "cosine", "rank"])
 
-    return queries.select(id_col, vec_col).mapInPandas(kernel, TOPK_SCHEMA)
+    from ferrobus_spark.plans.partitioning import spread_for_kernel
+
+    return spread_for_kernel(queries.select(id_col, vec_col)).mapInPandas(kernel, TOPK_SCHEMA)
 
 
 def _hyperplanes(dim: int, n_bits: int) -> np.ndarray:
@@ -133,7 +135,9 @@ def _sign_buckets(df: DataFrame, planes: np.ndarray, id_col: str, vec_col: str,
                 rows["bucket"] += buckets.tolist()
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, vec_col).mapInPandas(kernel, out_t)
+    from ferrobus_spark.plans.partitioning import spread_for_kernel
+
+    return spread_for_kernel(df.select(id_col, vec_col)).mapInPandas(kernel, out_t)
 
 
 def _with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
@@ -266,8 +270,10 @@ def ivf_topk(
 
     ck, ct = assign(1)       # corpus rows live in exactly one list
     qk, qt = assign(n_probe)  # queries probe several lists
-    cb = corpus.select(id_col, vec_col).mapInPandas(ck, ct)
-    qb = queries.select(id_col, vec_col).mapInPandas(qk, qt)
+    from ferrobus_spark.plans.partitioning import spread_for_kernel
+
+    cb = spread_for_kernel(corpus.select(id_col, vec_col)).mapInPandas(ck, ct)
+    qb = spread_for_kernel(queries.select(id_col, vec_col)).mapInPandas(qk, qt)
 
     dot = F.aggregate(
         F.zip_with("qvec", "cvec", lambda a, b: a * b),
