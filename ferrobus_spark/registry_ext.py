@@ -599,6 +599,37 @@ def q_embedding_neardup(spark, sf_dir):
     return cosine_neardup_pairs(spark, emb, threshold=0.95).select("id_a", "id_b")
 
 
+@register(
+    "embedding_neardup_planted",
+    """
+    WITH uni AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+      WHERE vec_id % 10 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM uni a JOIN uni b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+    """,
+)
+def q_embedding_neardup_planted(spark, sf_dir):
+    """POSITIVE evidence for the embedding near-dup chain (the plain
+    query returns 0 rows at sf0.01 — max natural cosine is 0.51, far
+    below 0.95). Plant an id-shifted copy of every 10th vector; the
+    LSH→cosine chain must recover exactly the planted pairs (identical
+    vectors always share every LSH bucket, so recall is 1 here; the
+    oracle's brute-force >=0.95 join finds nothing else)."""
+    from ferrobus_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    uni = emb.unionByName(planted)
+    return cosine_neardup_pairs(spark, uni, threshold=0.95).select("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (stubbed codecs, real Spark contract)
 # ---------------------------------------------------------------------------
