@@ -1,0 +1,140 @@
+"""End-to-end training-data curation pipeline (the 100 TB shape).
+
+Composes the web-corpus operators into the checkpointed, resumable
+stage list a crawl-to-training-set job runs:
+
+  pages        raw crawl rows (url, warc_ts, html, ...)
+  canonical    + canon_url/host (pure codegen — functions/urls.py)
+  url_dedup    first fetch per canonical url (re-crawl collapse)
+  extracted    html → visible text/title (Arrow parser)
+  text_feats   tokens + quality score + language id per doc
+  exact_dedup  one keeper per exact text hash
+  near_dedup   MinHash-LSH pairs → connected components → keep the
+               minimum doc of each duplicate cluster (plans/iterative)
+  curated      quality/length gate → final training rows
+
+Every stage goes through ``plans/checkpoint.run_pipeline``: parquet
+output + _METRICS.json + _LINEAGE.json per stage, so a rerun resumes
+after the last completed stage (Iceberg snapshots in production — same
+contract). Scale notes per stage are where the operators live; nothing
+here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ferrobus_spark.functions.text import (
+    lang_id_udf,
+    n_bpe_tokens_col,
+    quality_score_col,
+)
+from ferrobus_spark.functions.urls import canonical_url_col, url_host_col
+from ferrobus_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
+from ferrobus_spark.operators.html_text import parse_html
+from ferrobus_spark.plans.checkpoint import run_pipeline
+from ferrobus_spark.plans.iterative import connected_components
+
+
+def curation_stages(
+    pages_fn,
+    min_quality: float = 0.3,
+    min_tokens: int = 10,
+    near_dup_threshold: float = 0.9,
+):
+    """Stage list for ``run_pipeline``. ``pages_fn(spark, env)`` supplies
+    the raw pages DataFrame (parquet synth here; WARC scan in prod)."""
+
+    def s_canonical(spark, env):
+        p = env["pages"]
+        return p.select(
+            "doc_id", "url", "warc_ts", "html",
+            canonical_url_col(F.col("url")).alias("canon_url"),
+            url_host_col(F.col("url")).alias("host"),
+        )
+
+    def s_url_dedup(spark, env):
+        # first fetch per canonical url: min (warc_ts, url) — re-crawls
+        # and URL-variant duplicates collapse before any heavy parsing
+        c = env["canonical"]
+        return (
+            c.groupBy("canon_url")
+            .agg(F.min(F.struct("warc_ts", "url", "doc_id", "html")).alias("m"))
+            .select(
+                "canon_url",
+                F.col("m.url").alias("url"),
+                F.col("m.warc_ts").alias("warc_ts"),
+                F.col("m.doc_id").alias("doc_id"),
+                F.col("m.html").alias("html"),
+            )
+        )
+
+    def s_extracted(spark, env):
+        parsed = parse_html(env["url_dedup"], id_cols=("doc_id",))
+        # keep the join narrow: parser output + the url columns only
+        return parsed.join(
+            env["url_dedup"].select("doc_id", "canon_url", "url"), "doc_id"
+        ).select("doc_id", "canon_url", "url", "extracted_text", "title")
+
+    def s_text_feats(spark, env):
+        e = env["extracted"]
+        return e.select(
+            "doc_id", "canon_url", "url", "extracted_text",
+            n_bpe_tokens_col("extracted_text").cast("long").alias("n_tokens"),
+            quality_score_col("extracted_text").alias("quality"),
+            lang_id_udf(F.col("extracted_text")).alias("lang_pred"),
+        )
+
+    def s_exact_dedup(spark, env):
+        t = env["text_feats"]
+        keepers = (
+            t.groupBy(F.md5("extracted_text").alias("text_hash"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        return t.join(keepers, "doc_id")
+
+    def s_near_dedup(spark, env):
+        t = env["exact_dedup"]
+        sigs = minhash_signatures(t, id_col="doc_id", text_col="extracted_text")
+        pairs = minhash_lsh_pairs(sigs, threshold=near_dup_threshold).select(
+            "id_a", "id_b"
+        )
+        # duplicate clusters → keep the minimum doc of each component
+        # (connected_components labels with the component min already)
+        cc = connected_components(pairs, src="id_a", dst="id_b")
+        drop = cc.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id")
+        )
+        return t.join(drop, "doc_id", "left_anti")
+
+    def s_curated(spark, env):
+        k = env["near_dedup"]
+        return k.filter(
+            (F.col("quality") >= min_quality) & (F.col("n_tokens") >= min_tokens)
+        ).select(
+            "doc_id", "canon_url", "url", "lang_pred", "n_tokens", "quality",
+            F.col("extracted_text").alias("text"),
+        )
+
+    return [
+        ("pages", pages_fn, []),
+        ("canonical", s_canonical, ["pages"]),
+        ("url_dedup", s_url_dedup, ["canonical"]),
+        ("extracted", s_extracted, ["url_dedup"]),
+        ("text_feats", s_text_feats, ["extracted"]),
+        ("exact_dedup", s_exact_dedup, ["text_feats"]),
+        ("near_dedup", s_near_dedup, ["exact_dedup"]),
+        ("curated", s_curated, ["near_dedup"]),
+    ]
+
+
+def run_curation(
+    spark: SparkSession,
+    checkpoint_root: str,
+    pages_fn,
+    **knobs,
+) -> dict[str, DataFrame]:
+    """Execute (or resume) the curation pipeline; returns the stage env."""
+    return run_pipeline(spark, checkpoint_root, curation_stages(pages_fn, **knobs))

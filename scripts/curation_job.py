@@ -1,0 +1,60 @@
+"""Shippable training-data curation job: crawl → curated corpus.
+
+    scripts/package.sh   # builds dist/ferrobus_spark.zip
+    spark-submit --py-files dist/ferrobus_spark.zip \
+        scripts/curation_job.py --sf-dir /root/testdata/sf0.01 \
+        --checkpoint-root /tmp/ferrobus_curation
+
+Stages (each checkpointed with per-partition lineage + metrics; a rerun
+resumes after the last completed stage): pages → canonical urls →
+url-dedup → html extraction → token/quality/language features →
+exact dedup → MinHash-LSH near-dedup (connected-component clusters) →
+quality-gated curated rows. Prints one JSON line with per-stage metrics
+and the funnel counts.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--checkpoint-root", default="/tmp/ferrobus_curation")
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 8)))
+    ap.add_argument("--min-quality", type=float, default=0.3)
+    ap.add_argument("--min-tokens", type=int, default=10)
+    args = ap.parse_args()
+
+    from ferrobus_spark.plans.checkpoint import pipeline_metrics
+    from ferrobus_spark.plans.curation import run_curation
+    from ferrobus_spark.session import get_spark
+    from ferrobus_spark.sources.pages import pages_table
+
+    spark = get_spark("ferrobus-curation", master=f"local[{args.cpus}]")
+
+    def s_pages(spark_, env):
+        return pages_table(spark_, args.sf_dir)
+
+    env = run_curation(
+        spark, args.checkpoint_root, s_pages,
+        min_quality=args.min_quality, min_tokens=args.min_tokens,
+    )
+    funnel = {name: env[name].count() for name in (
+        "pages", "url_dedup", "exact_dedup", "near_dedup", "curated",
+    )}
+    print(json.dumps({
+        "stages": pipeline_metrics(args.checkpoint_root),
+        "funnel": funnel,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""End-to-end curation pipeline: funnel semantics + checkpoint resume.
+
+Inputs are the pages table PLUS planted noise the pipeline must clean:
+URL-variant re-crawls (collapse at url_dedup) and exact text copies
+under new doc ids (collapse at exact/near dedup). Every stage
+checkpoints; the second run must resume without recomputing.
+"""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from ferrobus_spark.plans.curation import run_curation
+from ferrobus_spark.sources.pages import pages_table
+
+
+def _noisy_pages(spark, sf_dir):
+    base = pages_table(spark, sf_dir).limit(300).localCheckpoint()
+    # URL-variant re-crawl of every page (later fetch, messier url)
+    recrawl = base.withColumn(
+        "url",
+        F.concat(
+            F.lit("HTTPS://"),
+            F.upper(F.regexp_extract("url", r"^https://([^/]+)", 1)),
+            F.lit(":443"),
+            F.regexp_extract("url", r"^https://[^/]+(.*)$", 1),
+            F.lit("#ref"),
+        ),
+    ).withColumn("warc_ts", F.col("warc_ts") + F.expr("INTERVAL 3 DAYS"))
+    # exact-content copies under fresh urls/doc ids (every 5th page)
+    copies = (
+        base.filter(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("url", F.concat(F.lit("https://mirror.example.net/copy/"),
+                                    F.col("doc_id").cast("string")))
+    )
+    return base.unionByName(recrawl).unionByName(copies)
+
+
+@pytest.fixture(scope="module")
+def curated_env(spark, sf_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("curation_ckpt"))
+
+    def s_pages(spark_, env):
+        return _noisy_pages(spark_, sf_dir)
+
+    t0 = time.perf_counter()
+    env = run_curation(spark, root, s_pages)
+    first_wall = time.perf_counter() - t0
+    return root, env, first_wall, s_pages
+
+
+def test_funnel_semantics(spark, sf_dir, curated_env):
+    _root, env, _wall, _fn = curated_env
+    n_base = 300
+    # input = base + recrawl + copies
+    assert env["pages"].count() == n_base + n_base + n_base // 5
+    # url dedup: recrawls collapse onto base urls; copies keep their urls
+    assert env["url_dedup"].count() == n_base + n_base // 5
+    # the kept fetch per canonical url is the ORIGINAL (earliest) one
+    assert {
+        r.doc_id for r in env["url_dedup"].filter("doc_id < 1000000").collect()
+    } == set(range(n_base))
+    # exact dedup: each planted copy shares text with its base doc; the
+    # MIN doc id (the base) is the keeper
+    assert env["exact_dedup"].count() == n_base
+    assert env["exact_dedup"].filter("doc_id >= 1000000").count() == 0
+    # near dedup: the corpus has GENUINE near-dup clusters (word-salad
+    # texts at true 5-gram Jaccard 0.93-0.99); the stage must keep the
+    # minimum doc of each cluster and drop the rest — verify with an
+    # independent union-find over the same LSH pairs
+    from ferrobus_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
+
+    exact = env["exact_dedup"].localCheckpoint()
+    pairs = minhash_lsh_pairs(
+        minhash_signatures(exact, text_col="extracted_text"), threshold=0.9
+    ).select("id_a", "id_b").collect()
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(int(r.id_a)), find(int(r.id_b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, set] = {}
+    for n in list(parent):
+        comp.setdefault(find(n), set()).add(n)
+    expected_drop = {n for root, mem in comp.items() for n in mem if n != root}
+    kept = {r.doc_id for r in env["near_dedup"].select("doc_id").collect()}
+    exact_ids = {r.doc_id for r in exact.select("doc_id").collect()}
+    assert kept == exact_ids - expected_drop
+    assert expected_drop, "corpus should contain natural near-dup clusters"
+    # curated: the gate keeps a nonempty, high-quality subset
+    n_cur = env["curated"].count()
+    assert 0 < n_cur <= n_base
+    cols = set(env["curated"].columns)
+    assert {"doc_id", "canon_url", "url", "lang_pred", "n_tokens", "quality", "text"} <= cols
+    # curated text is the byte-identical extracted text of kept docs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", F.col("text").alias("src"))
+    j = env["curated"].join(docs, "doc_id")
+    assert j.count() == n_cur
+    assert j.filter("text <> src").count() == 0
+
+
+def test_checkpoint_resume_skips_stages(spark, curated_env):
+    root, env, first_wall, s_pages = curated_env
+    t0 = time.perf_counter()
+    env2 = run_curation(spark, root, s_pages)
+    resume_wall = time.perf_counter() - t0
+    # all stages complete → the rerun only re-opens parquet (no recompute)
+    assert resume_wall < max(first_wall * 0.35, 10.0)
+    assert env2["curated"].count() == env["curated"].count()
