@@ -148,7 +148,8 @@ def minhash_signatures(
 
 
 def minhash_lsh_pairs(
-    sigs: DataFrame, n_bands: int = 16, threshold: float = 0.5
+    sigs: DataFrame, n_bands: int = 16, threshold: float = 0.5,
+    n_hashes: int | None = None,
 ) -> DataFrame:
     """Banded LSH join → (id_a, id_b, est_jaccard ≥ threshold).
 
@@ -161,9 +162,14 @@ def minhash_lsh_pairs(
     branch), candidate pairs dedupe on bare (id_a, id_b) BEFORE the
     wide signature rows are joined back — never `distinct` on array
     columns.
+
+    Pass ``n_hashes`` (the signature length the caller built with) to
+    avoid a driver ``first()`` probe job in this hot path; ``None``
+    falls back to probing for ad-hoc use.
     """
     sigs = sigs.localCheckpoint()
-    n_hashes = len(sigs.select("signature").first()["signature"])
+    if n_hashes is None:
+        n_hashes = len(sigs.select("signature").first()["signature"])
     rows_per_band = n_hashes // n_bands
     bands = sigs.select(
         "id",

@@ -42,10 +42,12 @@ def resolve_links(links: DataFrame, pages: DataFrame) -> DataFrame:
     """
     src = pages.select("doc_id", F.col("domain").alias("src_host"))
     out = links.join(F.broadcast(src), "doc_id")
-    absolute = F.col("href").startswith("https://") | F.col("href").startswith("http://")
+    # scheme match is case-insensitive (real HTML carries HTTP:// etc.)
+    low = F.lower(F.col("href"))
+    absolute = low.startswith("https://") | low.startswith("http://")
     relative = F.col("href").startswith("/") & ~F.col("href").startswith("//")
     host_of = F.regexp_replace(
-        F.lower(F.regexp_extract("href", r"^https?://([^/?#]+)", 1)), r":\d+$", ""
+        F.lower(F.regexp_extract("href", r"^(?i)https?://([^/?#]+)", 1)), r":\d+$", ""
     )
     return (
         out.filter(absolute | relative)

@@ -55,7 +55,9 @@ def brute_force_topk(
     raise with a clear message (``on_overflow='error'``). Pass
     ``max_corpus_rows=None`` to force the exact path (oracle use)."""
     if max_corpus_rows is not None:
-        n_corpus = corpus.count()
+        # bounded probe: limit(max+1).count() short-circuits instead of
+        # scanning the whole corpus just to check the gate
+        n_corpus = corpus.limit(max_corpus_rows + 1).count()
         if n_corpus > max_corpus_rows:
             if on_overflow == "ivf":
                 return ivf_topk(

@@ -56,18 +56,32 @@ def curation_stages(
 
     def s_url_dedup(spark, env):
         # first fetch per canonical url: min (warc_ts, url) — re-crawls
-        # and URL-variant duplicates collapse before any heavy parsing
+        # and URL-variant duplicates collapse before any heavy parsing.
+        # The agg sorts a NARROW key struct (no html): the winning
+        # doc_ids pull their html back via an equi-join, so the binary
+        # column crosses one exchange as plain payload instead of riding
+        # inside the min-struct comparator.
         c = env["canonical"]
-        return (
+        win = (
             c.groupBy("canon_url")
-            .agg(F.min(F.struct("warc_ts", "url", "doc_id", "html")).alias("m"))
+            .agg(F.min(F.struct("warc_ts", "url", "doc_id")).alias("m"))
             .select(
                 "canon_url",
-                F.col("m.url").alias("url"),
                 F.col("m.warc_ts").alias("warc_ts"),
+                F.col("m.url").alias("url"),
                 F.col("m.doc_id").alias("doc_id"),
-                F.col("m.html").alias("html"),
             )
+        )
+        # join back on the FULL winner key (doc_id alone repeats across
+        # re-crawl fetches of the same page), then collapse the
+        # identical-key edge case (two fetches tying on ts+url+id) with
+        # min(html) — the groupBy keys match the join keys, so Spark
+        # reuses the join's partitioning and the agg adds no exchange.
+        return (
+            c.join(win, ["canon_url", "warc_ts", "url", "doc_id"])
+            .groupBy("canon_url", "warc_ts", "url", "doc_id")
+            .agg(F.min("html").alias("html"))
+            .select("canon_url", "url", "warc_ts", "doc_id", "html")
         )
 
     def s_extracted(spark, env):
@@ -98,7 +112,7 @@ def curation_stages(
     def s_near_dedup(spark, env):
         t = env["exact_dedup"]
         sigs = minhash_signatures(t, id_col="doc_id", text_col="extracted_text")
-        pairs = minhash_lsh_pairs(sigs, threshold=near_dup_threshold).select(
+        pairs = minhash_lsh_pairs(sigs, threshold=near_dup_threshold, n_hashes=64).select(
             "id_a", "id_b"
         )
         # duplicate clusters → keep the minimum doc of each component

@@ -30,6 +30,7 @@ import os
 import shutil
 import tempfile
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -63,9 +64,24 @@ def cleanup(paths: list[str]) -> None:
 
     Only delete a round once a LATER materialize() fully consumed it —
     a DataFrame returned by materialize() lazily re-reads its directory.
+
+    Warns instead of silently no-opping when a path can't be removed —
+    e.g. ``spark.ferrobus.ckpt.dir`` pointing at non-driver-visible
+    storage (hdfs://, s3://) — so the O(1)-disk guarantee failing is
+    visible; cluster deployments should route such dirs through the
+    Hadoop FileSystem API instead.
     """
     for p in paths:
-        shutil.rmtree(p, ignore_errors=True)
+        if os.path.exists(p):
+            try:
+                shutil.rmtree(p)
+            except OSError as exc:  # pragma: no cover - depends on FS
+                warnings.warn(f"cleanup: could not remove round dir {p}: {exc}")
+        elif "://" in p:
+            warnings.warn(
+                f"cleanup: {p} is not a local path; round dirs on shared "
+                "storage accumulate — delete via the Hadoop FileSystem API"
+            )
     paths.clear()
 
 

@@ -419,7 +419,7 @@ def q_minhash_dup_pairs(spark, sf_dir):
     from ferrobus_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
 
     sigs = minhash_signatures(_docs(spark, sf_dir))
-    return minhash_lsh_pairs(sigs, threshold=0.5).select("id_a", "id_b")
+    return minhash_lsh_pairs(sigs, threshold=0.5, n_hashes=64).select("id_a", "id_b")
 
 
 def _simhash_oracle() -> str:
@@ -502,7 +502,7 @@ def q_ngram_exact_dups(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     sigs = minhash_signatures(docs)
-    cand = minhash_lsh_pairs(sigs, threshold=0.9).select("id_a", "id_b")
+    cand = minhash_lsh_pairs(sigs, threshold=0.9, n_hashes=64).select("id_a", "id_b")
     exact = ngram_jaccard_pairs(docs, cand)
     return exact.filter(F.col("jaccard") == 1.0).select("id_a", "id_b")
 
@@ -538,7 +538,7 @@ def q_dedup_planted(spark, sf_dir):
     )
     uni = docs.unionByName(planted)
     sigs = minhash_signatures(uni)
-    cand = minhash_lsh_pairs(sigs, threshold=0.9).select("id_a", "id_b")
+    cand = minhash_lsh_pairs(sigs, threshold=0.9, n_hashes=64).select("id_a", "id_b")
     exact = ngram_jaccard_pairs(uni, cand)
     return exact.filter(F.col("jaccard") == 1.0).select("id_a", "id_b")
 
@@ -634,33 +634,23 @@ def q_embedding_neardup_planted(spark, sf_dir):
 # multimodal plumbing (stubbed codecs, real Spark contract)
 # ---------------------------------------------------------------------------
 
+def _hex_byte(i: int) -> str:
+    """SQL for the i-th byte (0-based) of a hex digest column ``h``."""
+    c1 = f"substr(h, {2 * i + 1}, 1)"
+    c2 = f"substr(h, {2 * i + 2}, 1)"
+    hexd = "'0123456789abcdef'"
+    return f"((strpos({hexd}, {c1}) - 1) * 16 + strpos({hexd}, {c2}) - 1)"
+
+
 def _image_metadata_oracle() -> str:
     """DuckDB twin of the deterministic decode stub: rebuild the page
     html string in SQL (same template as sources/pages.py), sha256 it,
     and restate the stub's byte→(width,height,channels,format) rules
     from the hex digest."""
-    from ferrobus_spark.sources.pages import ref_href_sql
+    from ferrobus_spark.sources.pages import page_html_sql
 
-    def byte(i: int) -> str:  # i-th byte (0-based) of the hex digest
-        c1 = f"substr(h, {2 * i + 1}, 1)"
-        c2 = f"substr(h, {2 * i + 2}, 1)"
-        hexd = "'0123456789abcdef'"
-        return (
-            f"((strpos({hexd}, {c1}) - 1) * 16 + strpos({hexd}, {c2}) - 1)"
-        )
-
-    html = (
-        "'<html><head><title>Page ' || CAST(doc_id AS STRING)"
-        " || '</title></head><body><nav>'"
-        " || CASE WHEN doc_id > 0 THEN"
-        " '<a href=\"/page/' || CAST(doc_id - 1 AS STRING) || '\">prev</a>'"
-        " ELSE '' END"
-        " || '<a href=\"/page/' || CAST(doc_id + 1 AS STRING) || '\">next</a>'"
-        f" || '<a href=\"' || {ref_href_sql()} || '\">ref</a></nav><p>'"
-        " || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),"
-        " '>', '&gt;')"
-        " || '</p></body></html>'"
-    )
+    byte = _hex_byte
+    html = page_html_sql()
     return f"""
     SELECT doc_id,
            CAST(64 + {byte(0)} % 192 AS INTEGER) AS width,
@@ -679,20 +669,9 @@ def _frame_samples_oracle() -> str:
     256-byte frames, samples every 4th, caps at 8, and content-addresses
     each with sha256. Chunk j of the sampled sequence starts at byte
     1024*j; ASCII html ⇒ substr char ranges are byte ranges."""
-    from ferrobus_spark.sources.pages import ref_href_sql
+    from ferrobus_spark.sources.pages import page_html_sql
 
-    html = (
-        "'<html><head><title>Page ' || CAST(doc_id AS STRING)"
-        " || '</title></head><body><nav>'"
-        " || CASE WHEN doc_id > 0 THEN"
-        " '<a href=\"/page/' || CAST(doc_id - 1 AS STRING) || '\">prev</a>'"
-        " ELSE '' END"
-        " || '<a href=\"/page/' || CAST(doc_id + 1 AS STRING) || '\">next</a>'"
-        f" || '<a href=\"' || {ref_href_sql()} || '\">ref</a></nav><p>'"
-        " || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),"
-        " '>', '&gt;')"
-        " || '</p></body></html>'"
-    )
+    html = page_html_sql()
     branches = " UNION ALL ".join(
         f"""SELECT doc_id, CAST({j} AS INTEGER) AS frame_idx,
                    sha256(substr(h, {1024 * j + 1}, 256)) AS frame_sha256
@@ -718,20 +697,9 @@ def _resize_oracle() -> str:
     page bytes to 64*64 output bytes (idx j -> floor(j*len/4096)),
     compare by md5 (the driver hash-compares values; a 4 KB blob per
     row is pointless when md5 equality is byte-equality evidence)."""
-    from ferrobus_spark.sources.pages import ref_href_sql
+    from ferrobus_spark.sources.pages import page_html_sql
 
-    html = (
-        "'<html><head><title>Page ' || CAST(doc_id AS STRING)"
-        " || '</title></head><body><nav>'"
-        " || CASE WHEN doc_id > 0 THEN"
-        " '<a href=\"/page/' || CAST(doc_id - 1 AS STRING) || '\">prev</a>'"
-        " ELSE '' END"
-        " || '<a href=\"/page/' || CAST(doc_id + 1 AS STRING) || '\">next</a>'"
-        f" || '<a href=\"' || {ref_href_sql()} || '\">ref</a></nav><p>'"
-        " || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),"
-        " '>', '&gt;')"
-        " || '</p></body></html>'"
-    )
+    html = page_html_sql()
     resized = (
         "array_to_string(list_transform(range(4096), "
         "j -> substr(h, CAST((j * length(h)) // 4096 AS INT) + 1, 1)), '')"
@@ -757,12 +725,47 @@ def q_image_resize_hash(spark, sf_dir):
     )
 
 
-@register("image_features")  # rows-only: float32 vectors; NumPy-twin pytest
+def _image_features_oracle() -> str:
+    """DuckDB twin of extract_features' sha256-derived stub: the 128-byte
+    buffer is the digest repeated (buffer[k] = digest[k % 32]), so
+    component j's byte-quad sum is s_j = Σ_{r<4} digest[(4j+r) % 32].
+    The engine emits float32 (s/4 - 127.5)/127.5; the registered query
+    recovers s exactly (see q_image_features) — the oracle computes s
+    directly from the hex digest and md5s the same joined string."""
+    from ferrobus_spark.sources.pages import page_html_sql
+
+    comps = ", ".join(
+        "CAST(("
+        + " + ".join(_hex_byte((4 * j + r) % 32) for r in range(4))
+        + ") AS STRING)"
+        for j in range(32)
+    )
+    return f"""
+    SELECT doc_id, md5(concat_ws(',', {comps})) AS feature_md5
+    FROM (SELECT doc_id, sha256({page_html_sql()}) AS h FROM documents)
+    """
+
+
+@register("image_features", _image_features_oracle)
 def q_image_features(spark, sf_dir):
+    """Multimodal feature extraction (stub encoder, real Arrow contract),
+    driver-gated: the float32 vector component v_j encodes the byte-quad
+    sum s_j via v = (s/4 - 127.5)/127.5, so round(v*510 + 510) recovers
+    s_j exactly (max float32 error ~3e-5 ≪ 0.5). Hashing the integer
+    reconstruction gives the driver a scalar to compare — array<float>
+    rows crash its canonicalization (CORRECTNESS_r03) — while still
+    pinning every vector component bit-for-bit."""
     from ferrobus_spark.operators.multimodal import extract_features
     from ferrobus_spark.sources.pages import pages_table
 
-    return extract_features(pages_table(spark, sf_dir), binary_col="html")
+    feats = extract_features(pages_table(spark, sf_dir), binary_col="html")
+    s = F.transform(
+        "feature",
+        lambda x: F.round(x.cast("double") * 510.0 + 510.0)
+        .cast("bigint")
+        .cast("string"),
+    )
+    return feats.select("doc_id", F.md5(F.concat_ws(",", s)).alias("feature_md5"))
 
 
 @register("image_metadata", _image_metadata_oracle)

@@ -56,6 +56,24 @@ def ref_href_sql() -> str:
     )
 
 
+def page_html_sql() -> str:
+    """SQL expression rebuilding the page html string from (doc_id, text)
+    — shared verbatim by the DuckDB multimodal oracles so the binary
+    column's byte identity is restated independently of Spark."""
+    return (
+        "'<html><head><title>Page ' || CAST(doc_id AS STRING)"
+        " || '</title></head><body><nav>'"
+        " || CASE WHEN doc_id > 0 THEN"
+        " '<a href=\"/page/' || CAST(doc_id - 1 AS STRING) || '\">prev</a>'"
+        " ELSE '' END"
+        " || '<a href=\"/page/' || CAST(doc_id + 1 AS STRING) || '\">next</a>'"
+        f" || '<a href=\"' || {ref_href_sql()} || '\">ref</a></nav><p>'"
+        " || replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'),"
+        " '>', '&gt;')"
+        " || '</p></body></html>'"
+    )
+
+
 def pages_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → pages(url, warc_ts, html, text, lang, lon, lat, domain)."""
     docs = load_documents(spark, sf_dir)

@@ -110,9 +110,13 @@ def url_first_seen(pages: DataFrame) -> DataFrame:
     The pages firehose re-crawls the same resource under case/port/
     fragment variants; keying the state store on
     ``functions.urls.canonical_url_col`` collapses them and emits
-    exactly one row per canonical url — the earliest (warc_ts, url)
-    fetch — across micro-batches. Same state shape as
-    :func:`stateful_first_seen`, keyed by a derived column."""
+    exactly one row per canonical url: FIRST-ARRIVAL semantics — the
+    earliest (warc_ts, url) among batches seen before the key's first
+    emission. A later micro-batch carrying an earlier warc_ts (late
+    data) cannot retract the emitted row; hold state open behind a
+    watermark/timeout before emitting if exact earliest-ever matters.
+    Same state shape as :func:`stateful_first_seen`, keyed by a
+    derived column."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

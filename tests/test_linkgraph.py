@@ -48,6 +48,23 @@ def test_resolve_links_normalizes_and_filters(spark):
     assert out["http://plain.org/q"].dst_host == "plain.org"
 
 
+def test_resolve_links_uppercase_scheme_kept(spark):
+    """Mixed-case schemes (HTTP://, Https://) are absolute links too."""
+    links = spark.createDataFrame(
+        [
+            (1, 0, "HTTP://Shouty.ORG/a"),
+            (1, 1, "Https://Mixed.Example.com:443/b"),
+        ],
+        "doc_id long, link_pos int, href string",
+    )
+    pages = spark.createDataFrame([(1, "src.example.com")], "doc_id long, domain string")
+    out = {r.url: r.dst_host for r in resolve_links(links, pages).collect()}
+    assert out == {
+        "HTTP://Shouty.ORG/a": "shouty.org",
+        "Https://Mixed.Example.com:443/b": "mixed.example.com",
+    }
+
+
 def test_host_graph_counts(resolved):
     hg = {(r.src_host, r.dst_host): r.n_links for r in host_graph(resolved).collect()}
     manual = (
