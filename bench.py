@@ -55,18 +55,25 @@ def main() -> None:
     # warm the JVM + Arrow path once (session startup excluded from timings)
     qmap["tile_assign"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
 
-    # min of 2 runs per query: first runs pay JVM/codegen warmup that a
-    # long-lived cluster job would amortize away
+    # best-of-N per query: first runs pay JVM/codegen warmup that a
+    # long-lived cluster job would amortize away, and this host's
+    # scheduler jitter defeats best-of-2 (BENCH_r03's 3× minhash
+    # artifact) — so take min over 3 runs and RECORD the spread so a
+    # jittery sample is visible in the artifact instead of silently
+    # inflating the headline.
+    runs_per_query = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     per_query: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         if name not in qmap:
             continue
-        best = float("inf")
-        for _ in range(2):
+        times = []
+        for _ in range(runs_per_query):
             t0 = time.perf_counter()
             force(qmap[name](spark, SF_DIR))
-            best = min(best, time.perf_counter() - t0)
-        per_query[name] = round(best, 4)
+            times.append(round(time.perf_counter() - t0, 4))
+        per_query[name] = min(times)
+        spread[name] = times
 
     # north-rule throughput at meaningful scale: the headline spatial path
     # over 50M synthesized pages rows (deterministic geo from row id) —
@@ -106,6 +113,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        "query_runs": spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "rows_documents": n_docs,
         "tile_assign_rows_per_sec": (

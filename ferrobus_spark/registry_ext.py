@@ -335,17 +335,74 @@ def q_host_link_graph(spark, sf_dir):
     return host_graph(resolved)
 
 
-@register("host_pagerank")  # rows-only: float iterative; NumPy-oracle pytest
+def _pagerank_oracle(n_iter: int = 8, damping: float = 0.85) -> str:
+    """DuckDB twin of linkgraph.pagerank over the host graph: build the
+    weighted host edges with the (already driver-green) host_link_graph
+    SQL, then unroll ``n_iter`` damped rounds as MATERIALIZED CTEs —
+    same dataflow as the engine (weighted in-mass + uniform dangling
+    redistribution). Ranks compare in nano fixed point (×1e9, rounded):
+    partial-agg summation order differs between engines by ~1e-15,
+    twelve decimal orders below the comparison grid."""
+    from ferrobus_spark.hexgrid import dlit
+
+    d, omd = dlit(damping), dlit(1.0 - damping)
+    parts = [
+        f"edges AS MATERIALIZED ({_host_graph_oracle()})",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src_host AS node FROM edges"
+        " UNION SELECT DISTINCT dst_host FROM edges)",
+        "outdeg AS MATERIALIZED (SELECT src_host, SUM(n_links) AS outdeg"
+        " FROM edges GROUP BY src_host)",
+        "nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes)",
+        f"r0 AS MATERIALIZED (SELECT node, {dlit(1.0)}/(SELECT n FROM nn)"
+        " AS rank FROM nodes)",
+    ]
+    for k in range(n_iter):
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), {dlit(0.0)})"
+            f" AS dm FROM r{k} r LEFT JOIN outdeg o ON o.src_host = r.node"
+            " WHERE o.src_host IS NULL)"
+        )
+        parts.append(
+            f"""r{k + 1} AS MATERIALIZED (
+      SELECT n.node,
+             {omd}/(SELECT n FROM nn)
+             + {d}*(SELECT dm FROM d{k})/(SELECT n FROM nn)
+             + {d}*COALESCE(m.mass, {dlit(0.0)}) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst_host AS node,
+               SUM(e.n_links * r.rank / o.outdeg) AS mass
+        FROM edges e JOIN r{k} r ON r.node = e.src_host
+                     JOIN outdeg o ON o.src_host = e.src_host
+        GROUP BY e.dst_host
+      ) m ON m.node = n.node)"""
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT node, CAST(ROUND(rank * 1e9) AS BIGINT) AS rank_nano"
+        f" FROM r{n_iter}"
+    )
+
+
+@register("host_pagerank", _pagerank_oracle)
 def q_host_pagerank(spark, sf_dir):
+    """Damped PageRank over the host link graph, driver-gated in nano
+    fixed point (rank×1e9 rounded to int64): absorbs cross-engine float
+    summation-order noise (~1e-15) while pinning the full iterative
+    dataflow — the DuckDB twin unrolls the same 8 weighted rounds from
+    the independently-oracled host edges."""
     from ferrobus_spark.operators.html_text import extract_links
     from ferrobus_spark.operators.linkgraph import pagerank, resolve_links
     from ferrobus_spark.sources.pages import pages_table
 
     pages = pages_table(spark, sf_dir)
     resolved = resolve_links(extract_links(pages), pages)
-    return pagerank(
+    ranks = pagerank(
         resolved.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst")),
         n_iter=8,
+    )
+    return ranks.select(
+        "node",
+        F.round(F.col("rank") * F.lit(1e9)).cast("long").alias("rank_nano"),
     )
 
 
@@ -587,6 +644,53 @@ def q_knn_embeddings_ivf(spark, sf_dir):
 
     emb = _read(spark, sf_dir, "embeddings")
     return ivf_topk(spark, emb, emb, k=3, n_lists=16, n_probe=8).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+_PLANTED_RANK1_ORACLE = """
+    SELECT vec_id + 1000000 AS query_id, vec_id AS neighbor_id,
+           CAST(1 AS BIGINT) AS rank
+    FROM embeddings WHERE vec_id % 10 = 0
+    """
+
+
+@register("knn_lsh_planted", _PLANTED_RANK1_ORACLE)
+def q_knn_lsh_planted(spark, sf_dir):
+    """POSITIVE driver evidence for the LSH ANN recall floor: plant an
+    exact copy of every 10th vector under a shifted id and query the
+    copies against corpus+copies with k=1. An identical vector shares
+    every sign-bucket of its twin, so the twin is always a candidate and
+    wins rank 1 at cosine 1.0 (max natural cosine in this corpus is
+    0.51) — the oracle is the closed-form planted mapping. A recall
+    regression in bucketing, candidate dedup, or re-rank breaks the
+    hash."""
+    from ferrobus_spark.operators.similarity import lsh_topk
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    corpus = emb.unionByName(planted)
+    return lsh_topk(spark, planted, corpus, k=1).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register("knn_ivf_planted", _PLANTED_RANK1_ORACLE)
+def q_knn_ivf_planted(spark, sf_dir):
+    """Same planted-rank-1 gate for the IVF path: the copy and its twin
+    share the nearest centroid (identical similarity rows → identical
+    argsort), so the twin sits in every probed list and must surface at
+    rank 1."""
+    from ferrobus_spark.operators.similarity import ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    corpus = emb.unionByName(planted)
+    return ivf_topk(spark, planted, corpus, k=1, n_lists=16, n_probe=4).select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
     )
 
