@@ -1164,9 +1164,18 @@ def q_transit_range_pareto(spark, sf_dir):
     )
 
 
-@register("transit_detailed_journeys")
+def _oracle_detailed() -> str:
+    from ferrobus_spark.transit_oracle_sql import detailed_journeys_oracle_sql
+
+    return detailed_journeys_oracle_sql()
+
+
+@register("transit_detailed_journeys", _oracle_detailed)
 def q_transit_detailed_journeys(spark, sf_dir):
-    """Traced journey legs (walk/transit/transfer chain) per OD pair."""
+    """Traced journey legs (walk/transit/transfer chain) per OD pair,
+    driver-gated against the independent Python twin's traced RAPTOR +
+    leg reconstruction (tests/oracle/transit_oracle.py) emitted as a
+    VALUES oracle — the legs table is deterministic integer rows."""
     from ferrobus_spark.routing.traced import detailed_journeys
 
     model, tt = _transit_ctx(spark)

@@ -575,3 +575,45 @@ def range_oracle_sql(
                       AND e.arrival_time <= a.arrival_time)) AS is_pareto
            FROM acc a""",
     )
+
+
+def detailed_journeys_oracle_sql(
+    departure: int = 8 * 3600,
+    max_transfers: int = 3,
+    od_pairs: tuple = ((0, 0, 5), (1, 2, 8), (2, 4, 9)),
+) -> str:
+    """transit_detailed_journeys twin: the legs table is deterministic
+    integer/enum rows, so the expected rows are COMPUTED BY THE
+    INDEPENDENT PYTHON TWIN (``tests/oracle/transit_oracle.py``'s
+    traced_raptor + detailed_journey_legs — its own per-round
+    label/predecessor implementation of traced_raptor.rs /
+    itinerary/mod.rs:15-119, not the engine) and emitted as a VALUES
+    CTE, like the model tables feeding the other transit oracles. The
+    GeoJSON string product stays rows-only (string formatting)."""
+    to = _pyoracle()
+    model, _rs, _st, _tr, pts = _ctx()
+    rows = to.detailed_journey_legs(
+        model, pts, list(od_pairs), departure, max_transfers
+    )
+    cols = [
+        "pair_id", "leg_idx", "kind", "from_stop", "to_stop",
+        "depart", "arrive", "route_idx", "trip_pos",
+    ]
+    vals = ", ".join(
+        "(" + ", ".join(
+            f"'{v}'" if isinstance(v, str) else str(int(v)) for v in r
+        ) + ")"
+        for r in rows
+    )
+    return f"""
+    SELECT CAST(pair_id AS BIGINT) AS pair_id,
+           CAST(leg_idx AS INTEGER) AS leg_idx,
+           kind,
+           CAST(from_stop AS BIGINT) AS from_stop,
+           CAST(to_stop AS BIGINT) AS to_stop,
+           CAST(depart AS BIGINT) AS depart,
+           CAST(arrive AS BIGINT) AS arrive,
+           CAST(route_idx AS BIGINT) AS route_idx,
+           CAST(trip_pos AS BIGINT) AS trip_pos
+    FROM (VALUES {vals}) AS t({', '.join(cols)})
+    """

@@ -677,3 +677,203 @@ def upper_median_travel_time(journeys) -> int:
     by_dep = sorted(journeys, key=lambda j: j["departure_time"])
     times = sorted(j["travel_time"] for j in by_dep)
     return times[len(times) // 2]
+
+
+# ---------------------------------------------------------------------------
+# Traced RAPTOR + detailed journey legs (traced_raptor.rs / itinerary/mod.rs)
+# ---------------------------------------------------------------------------
+
+def traced_raptor(model: Model, source: int, target: int, departure: int,
+                  max_transfers: int):
+    """Legs twin of the reference's traced kernel.
+
+    Per-round label/board/predecessor records; marks fire on ROUND-
+    arrival improvement (the traced kernel's semantics — a superset of
+    the untraced best-improvement marks above). Returns
+    (normalized_legs, departure_time, arrival_time) or None.
+    """
+    n = len(model.stops)
+    rounds = max_transfers + 1
+    arr = [[INF] * n for _ in range(rounds)]
+    board = [[INF] * n for _ in range(rounds)]
+    preds = [[None] * n for _ in range(rounds)]
+    marked = [set() for _ in range(rounds)]
+    best = [INF] * n
+
+    def update(rnd, stop, arrival, brd, pred):
+        improved = False
+        if arrival < arr[rnd][stop]:
+            arr[rnd][stop] = arrival
+            preds[rnd][stop] = pred
+            improved = True
+        if brd < board[rnd][stop]:
+            board[rnd][stop] = brd
+        if arrival < best[stop]:
+            best[stop] = arrival
+        return improved
+
+    update(0, source, departure, departure, ("source",))
+    marked[0].add(source)
+    for tstop, dur in model.transfers.get(source, []):
+        at = departure + dur
+        if update(0, tstop, at, at, ("transfer", source, departure, at, dur)):
+            marked[0].add(tstop)
+
+    def scan_routes(rnd):
+        prev = rnd - 1
+        prevmarks = marked[prev]
+        marked[prev] = set()
+        target_bound = best[target]
+        for ridx, route in enumerate(model.routes):
+            stops_ = route.pattern
+            start_pos = None
+            for pos, s in enumerate(stops_):
+                if s in prevmarks:
+                    start_pos = pos
+                    break
+            if start_pos is None:
+                continue
+            trip_idx = None
+            board_pos = 0
+            for pos in range(start_pos, len(stops_)):
+                eb = board[prev][stops_[pos]]
+                if eb == INF:
+                    continue
+                ti = _find_earliest_trip(route, pos, eb)
+                if ti is not None:
+                    trip_idx, board_pos = ti, pos
+                    break
+            if trip_idx is None:
+                continue
+            boarding_idx = board_pos
+            for pos in range(board_pos, len(stops_)):
+                s = stops_[pos]
+                pb = board[prev][s]
+                if pb < route.trips[trip_idx][pos][1]:
+                    nti = _find_earliest_trip(route, pos, pb)
+                    if nti is not None and nti != trip_idx:
+                        trip_idx = nti
+                        boarding_idx = pos
+                trip = route.trips[trip_idx]
+                actual_arrival = trip[pos][0]
+                effective_board = actual_arrival if s == target else trip[pos][1]
+                pred = ("transit", stops_[boarding_idx], ridx, trip_idx,
+                        trip[boarding_idx][1], actual_arrival)
+                if update(rnd, s, actual_arrival, effective_board, pred):
+                    marked[rnd].add(s)
+                if effective_board >= target_bound:
+                    break
+
+    def foot_paths(rnd):
+        # ascending live-read pass over the round's route-marked stops
+        current = sorted(marked[rnd])
+        new_marks = set()
+        tb = best[target]
+        for s in current:
+            cb = board[rnd][s]
+            for tstop, dur in model.transfers.get(s, []):
+                at = cb + dur
+                if at >= board[rnd][tstop] or at >= tb:
+                    continue
+                if update(rnd, tstop, at, at, ("transfer", s, cb, at, dur)):
+                    new_marks.add(tstop)
+        marked[rnd] = set(current) | new_marks
+
+    for rnd in range(1, rounds):
+        scan_routes(rnd)
+        foot_paths(rnd)
+        at = arr[rnd][target]
+        # round arrival got worse than best → the reference stops and
+        # reconstructs; falling out of the loop does the same here
+        if at != INF and at > best[target]:
+            break
+        if not marked[rnd]:
+            break
+
+    if best[target] == INF:
+        return None
+
+    best_round = next(r for r in range(rounds) if arr[r][target] == best[target])
+    legs = []
+    stop, rnd = target, best_round
+    while stop != source:
+        pred = preds[rnd][stop]
+        if pred is None or pred[0] == "source":
+            raise ValueError("invalid journey")
+        if pred[0] == "transit":
+            _, from_stop, ridx, tidx, dep, arrv = pred
+            if arr[rnd][stop] != arrv or rnd == 0:
+                raise ValueError("invalid journey")
+            legs.append({"kind": "transit", "from_stop": from_stop, "to_stop": stop,
+                         "depart": dep, "arrive": arrv, "route_idx": ridx,
+                         "trip_pos": tidx})
+            stop = from_stop
+            rnd -= 1
+        else:
+            _, from_stop, dep, arrv, dur = pred
+            if arr[rnd][stop] != arrv:
+                raise ValueError("invalid journey")
+            legs.append({"kind": "transfer", "from_stop": from_stop, "to_stop": stop,
+                         "depart": dep, "arrive": arrv, "route_idx": -1,
+                         "trip_pos": -1, "duration": dur})
+            stop = from_stop
+    legs.reverse()
+
+    # normalize: hide zero-duration synthetic transfers; insert waiting
+    # immediately before transit boarding (normalize_legs semantics)
+    out = []
+    if legs:
+        prev = legs[0]
+        for nxt in legs[1:]:
+            if not (prev["kind"] == "transfer" and prev.get("duration") == 0):
+                out.append(prev)
+            if nxt["kind"] == "transit" and nxt["depart"] > prev["arrive"]:
+                out.append({"kind": "wait", "from_stop": prev["to_stop"],
+                            "to_stop": prev["to_stop"], "depart": prev["arrive"],
+                            "arrive": nxt["depart"], "route_idx": -1,
+                            "trip_pos": -1})
+            prev = nxt
+        if not (prev["kind"] == "transfer" and prev.get("duration") == 0):
+            out.append(prev)
+    return out, board[0][source], best[target]
+
+
+def detailed_journey_legs(model: Model, points: dict, od_pairs, departure: int,
+                          max_transfers: int):
+    """traced_multimodal_routing capped 1x1: rank-1 access/egress stops,
+    direct-walk comparison, access + transit legs + egress rows.
+    Returns rows shaped like the engine's LEG_SCHEMA."""
+    rows = []
+    for pid, oi, di in od_pairs:
+        o, d = points.get(oi), points.get(di)
+        if o is None or d is None:
+            continue
+        walking = o.walking_time_to(d)
+        best_cand = None
+        if o.nearest_stops and d.nearest_stops:
+            a_stop, a_secs = o.nearest_stops[0]
+            e_stop, e_secs = d.nearest_stops[0]
+            if walking is None or a_secs + e_secs < walking:
+                j = traced_raptor(model, a_stop, e_stop, departure + a_secs,
+                                  max_transfers)
+                if j is not None:
+                    legs, dep_t, arr_t = j
+                    total = a_secs + (arr_t - dep_t) + e_secs
+                    best_cand = (total, a_stop, a_secs, e_stop, e_secs, legs, arr_t)
+        if walking is not None and (best_cand is None or walking <= best_cand[0]):
+            rows.append((pid, 0, "walk", -1, -1, departure, departure + walking,
+                         -1, -1))
+        elif best_cand is not None:
+            _, a_stop, a_secs, e_stop, e_secs, legs, arr_t = best_cand
+            idx = 0
+            rows.append((pid, idx, "walk", -1, a_stop, departure,
+                         departure + a_secs, -1, -1))
+            idx += 1
+            for leg in legs:
+                rows.append((pid, idx, leg["kind"], leg["from_stop"],
+                             leg["to_stop"], leg["depart"], leg["arrive"],
+                             leg["route_idx"], leg["trip_pos"]))
+                idx += 1
+            rows.append((pid, idx, "walk", e_stop, -1, arr_t, arr_t + e_secs,
+                         -1, -1))
+    return rows
