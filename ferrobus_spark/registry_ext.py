@@ -1186,10 +1186,18 @@ def q_transit_detailed_journeys(spark, sf_dir):
     return detailed_journeys(spark, tt, model.csr, od, pts, pts, 8 * 3600, 3)
 
 
-@register("transit_journey_geojson")
+def _oracle_geojson() -> str:
+    from ferrobus_spark.transit_oracle_sql import journey_geojson_oracle_sql
+
+    return journey_geojson_oracle_sql()
+
+
+@register("transit_journey_geojson", _oracle_geojson)
 def q_transit_journey_geojson(spark, sf_dir):
     """Journey GeoJSON with the reference's leg geometry: street-path
-    transfer polylines + pattern-stop transit lines (to_geojson.rs)."""
+    transfer polylines + pattern-stop transit lines (to_geojson.rs).
+    Driver-gated byte-for-byte against the Python twin's independent
+    geometry reconstruction emitted as a VALUES oracle."""
     from ferrobus_spark.routing.traced import detailed_journeys, legs_to_geojson_model
 
     model, tt = _transit_ctx(spark)

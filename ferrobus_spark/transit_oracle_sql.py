@@ -617,3 +617,30 @@ def detailed_journeys_oracle_sql(
            CAST(trip_pos AS BIGINT) AS trip_pos
     FROM (VALUES {vals}) AS t({', '.join(cols)})
     """
+
+
+def journey_geojson_oracle_sql(
+    departure: int = 8 * 3600,
+    max_transfers: int = 3,
+    od_pairs: tuple = ((0, 0, 5), (1, 2, 8), (2, 4, 9)),
+) -> str:
+    """transit_journey_geojson twin: the FeatureCollection strings are
+    deterministic byte-for-byte (json.dumps over integer times and the
+    fixture's float coordinates), so the independent Python twin
+    reconstructs the legs AND their geometry — intermediate pattern
+    stops, bounded street-path transfer polylines with stop-snapped
+    endpoints, waiting points, null-endpoint access/egress lines — and
+    the oracle is the VALUES emission of those strings."""
+    to = _pyoracle()
+    model, _rs, _st, _tr, pts = _ctx()
+    rows = to.journey_geojson_rows(
+        model, pts, list(od_pairs), departure, max_transfers
+    )
+    vals = ", ".join(
+        "(" + str(int(pid)) + ", '" + gj.replace("'", "''") + "')"
+        for pid, gj in rows
+    )
+    return f"""
+    SELECT CAST(pair_id AS BIGINT) AS pair_id, geojson
+    FROM (VALUES {vals}) AS t(pair_id, geojson)
+    """

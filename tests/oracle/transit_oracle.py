@@ -877,3 +877,117 @@ def detailed_journey_legs(model: Model, points: dict, od_pairs, departure: int,
             rows.append((pid, idx, "walk", e_stop, -1, arr_t, arr_t + e_secs,
                          -1, -1))
     return rows
+
+
+def dijkstra_path(adj: dict, start: int, target: int, max_cost: float | None = None):
+    """Shortest node path start→target with parent tracking (bounded,
+    strict-improvement relaxation — to_geojson.rs dijkstra_paths
+    semantics). Returns raw-node-id path or None."""
+    import heapq
+
+    dist = {start: 0}
+    par: dict[int, int] = {}
+    heap = [(0, start)]
+    while heap:
+        cost, node = heapq.heappop(heap)
+        if node == target:
+            break
+        if cost > dist.get(node, INF):
+            continue
+        if max_cost is not None and cost > max_cost:
+            continue
+        for nbr, secs in adj.get(node, []):
+            nc = cost + secs
+            if nc < dist.get(nbr, INF):
+                dist[nbr] = nc
+                par[nbr] = node
+                heapq.heappush(heap, (nc, nbr))
+    if target not in dist or (target != start and target not in par):
+        return None
+    path = [target]
+    while path[-1] != start:
+        path.append(par[path[-1]])
+    path.reverse()
+    return path
+
+
+def journey_geojson_rows(model: Model, points: dict, od_pairs, departure: int,
+                         max_transfers: int):
+    """(pair_id, geojson FeatureCollection string) twin of
+    legs_to_geojson_model / to_geojson.rs: transit legs through
+    intermediate pattern stops, transfer legs along the bounded street
+    path (stop-snapped endpoints, straight-line fallback), waiting
+    points, access/egress straight lines (null point endpoints when no
+    od coordinates are supplied — the registry query supplies none)."""
+    import json
+
+    lons = model.stops["stop_lon"].astype(float).tolist()
+    lats = model.stops["stop_lat"].astype(float).tolist()
+
+    def sxy(s):
+        return [lons[int(s)], lats[int(s)]]
+
+    legs = detailed_journey_legs(model, points, od_pairs, departure, max_transfers)
+    by_pair: dict[int, list] = {}
+    for row in legs:
+        by_pair.setdefault(row[0], []).append(row)
+
+    out = []
+    for pid in sorted(by_pair):
+        feats = []
+        for (_p, leg_idx, kind, fs, ts, dep, arr, ridx, _tpos) in sorted(
+            by_pair[pid], key=lambda r: r[1]
+        ):
+            if kind == "wait":
+                geom = {"type": "Point", "coordinates": sxy(ts)}
+                leg_type = "waiting"
+            elif kind == "transit":
+                pat = model.routes[int(ridx)].pattern
+                coords = [sxy(fs)]
+                if fs in pat and ts in pat:
+                    i, j = pat.index(fs), pat.index(ts)
+                    mids = pat[i + 1 : j] if i < j else pat[j + 1 : i][::-1]
+                    coords += [sxy(m) for m in mids]
+                coords.append(sxy(ts))
+                geom = {"type": "LineString", "coordinates": coords}
+                leg_type = "transit"
+            elif kind == "transfer":
+                coords = None
+                nf = model.stop_nodes[int(fs)] if int(fs) >= 0 else None
+                nt = model.stop_nodes[int(ts)] if int(ts) >= 0 else None
+                if nf is not None and nt is not None:
+                    path = dijkstra_path(model.adj, nf, nt, model.max_transfer_time)
+                    if path is not None and len(path) > 1:
+                        coords = [
+                            [model.node_pos[p][0], model.node_pos[p][1]]
+                            for p in path
+                        ]
+                        coords[0] = sxy(fs)
+                        coords[-1] = sxy(ts)
+                if coords is None:
+                    coords = [sxy(fs), sxy(ts)]
+                geom = {"type": "LineString", "coordinates": coords}
+                leg_type = "transfer"
+            else:  # walk
+                a = sxy(fs) if fs >= 0 else [None, None]
+                b = sxy(ts) if ts >= 0 else [None, None]
+                leg_type = (
+                    "access_walk" if fs < 0 <= ts
+                    else "egress_walk" if ts < 0 <= fs
+                    else "direct_walk"
+                )
+                geom = {"type": "LineString", "coordinates": [a, b]}
+            feats.append(json.dumps({
+                "type": "Feature",
+                "geometry": geom,
+                "properties": {
+                    "leg_type": leg_type,
+                    "leg_index": int(leg_idx),
+                    "departure_time": int(dep),
+                    "arrival_time": int(arr),
+                    "duration": int(arr) - int(dep),
+                },
+            }))
+        out.append((pid, '{"type": "FeatureCollection", "features": ['
+                    + ", ".join(feats) + "]}"))
+    return out
