@@ -695,8 +695,19 @@ def q_knn_ivf_planted(spark, sf_dir):
     )
 
 
-@register("embedding_neardup_pairs")  # rows-only
+@register(
+    "embedding_neardup_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+    """,
+)
 def q_embedding_neardup(spark, sf_dir):
+    """LSH near-dup chain vs the brute-force cosine join. On this corpus
+    the oracle is empty (max natural cosine 0.51 ≪ 0.95) so this row
+    gates the no-false-positives direction; the positive direction is
+    carried by embedding_neardup_planted's 50 planted copies."""
     from ferrobus_spark.operators.similarity import cosine_neardup_pairs
 
     emb = _read(spark, sf_dir, "embeddings")

@@ -33,7 +33,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STOP = ["the", "of", "and", "to", "in", "is", "was", "for", "on", "as"]
-VOCAB_N = 512
 WORDS_PER_DOC = 60
 
 
@@ -43,8 +42,6 @@ def synth_pages(spark, n_rows: int):
 
     from ferrobus_spark.sources.pages import domain_sql
 
-    vocab = STOP + [f"w{i:03d}x" for i in range(VOCAB_N - len(STOP))]
-    varr = F.array(*[F.lit(w) for w in vocab])
     sarr = F.array(*[F.lit(w) for w in STOP])
 
     base = spark.range(0, n_rows, 1, 256).withColumnRenamed("id", "doc_id")
@@ -70,9 +67,15 @@ def synth_pages(spark, n_rows: int):
         # bits alias seeds mod small powers of two and collapse the
         # corpus into a few hundred distinct texts
         mix = F.xxhash64(seed, F.lit(k))
-        # every 4th word a stopword → stopword_ratio ≈ .25 (quality gate)
+        # every 4th word a stopword → stopword_ratio ≈ .25 (quality
+        # gate); body words are 6-hex-char pseudo-words — a ~16M-word
+        # universe like natural text's, NOT a small fixed vocab: with a
+        # few hundred distinct words the global minimum shingles repeat
+        # across most docs and MinHash band buckets grow to thousands
+        # of members (sum k² candidate pairs exhausted the disk at 2M
+        # rows before this was diagnosed)
         stop_w = F.element_at(sarr, F.pmod(mix, F.lit(len(STOP))).cast("int") + 1)
-        body_w = F.element_at(varr, F.pmod(mix, F.lit(VOCAB_N)).cast("int") + 1)
+        body_w = F.lower(F.hex(F.pmod(mix, F.lit(16_777_216))))
         w = stop_w if k % 4 == 0 else body_w
         if k == 30:  # near-copies swap exactly one mid-document word
             w = F.when(near, F.lit("swappedword")).otherwise(w)
