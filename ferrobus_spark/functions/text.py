@@ -98,6 +98,37 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+def lang_id_col(text: str | Column) -> Column:
+    """Pure-codegen language ID, semantics-identical to
+    :func:`lang_id_udf` (same markers, non-overlapping counts, first-max
+    tie rule) but JVM-side — no Arrow round-trip or Python workers in
+    the 100 TB hot path. Marker count = ``size(split(padded, m)) - 1``
+    (left-to-right non-overlapping, same as pandas ``str.count``); the
+    winner CASE chain mirrors the DuckDB oracle restatement exactly.
+    (Java vs Python ``\\s`` differ on exotic unicode whitespace — moot
+    for a heuristic classifier; the ASCII corpus is bit-identical.)"""
+    c = F.col(text) if isinstance(text, str) else text
+    padded = F.concat(
+        F.lit(" "),
+        F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), r"\s+", " "),
+        F.lit(" "),
+    )
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        s = None
+        for m in markers:
+            cnt = F.size(F.split(padded, m)) - 1
+            s = cnt if s is None else s + cnt
+        scores[lang] = s
+    langs = list(LANG_MARKERS)  # insertion order = tie priority
+    chain = F.when(F.greatest(*[scores[lg] for lg in langs]) == 0, F.lit("und"))
+    for i, lang in enumerate(langs[:-1]):
+        rest = [scores[lg] for lg in langs[i + 1 :]]
+        cmp_ = rest[0] if len(rest) == 1 else F.greatest(*rest)
+        chain = chain.when(scores[lang] >= cmp_, F.lit(lang))
+    return chain.otherwise(F.lit(langs[-1]))
+
+
 @F.pandas_udf(T.StringType())
 def lang_id_udf(text: pd.Series) -> pd.Series:
     padded = (" " + text.fillna("").str.lower().str.replace(r"\s+", " ", regex=True) + " ")

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ferrobus_spark.functions.text import (
-    lang_id_udf,
+    lang_id_col,
     n_bpe_tokens_col,
     quality_score_col,
 )
@@ -97,7 +97,7 @@ def curation_stages(
             "doc_id", "canon_url", "url", "extracted_text",
             n_bpe_tokens_col("extracted_text").cast("long").alias("n_tokens"),
             quality_score_col("extracted_text").alias("quality"),
-            lang_id_udf(F.col("extracted_text")).alias("lang_pred"),
+            lang_id_col(F.col("extracted_text")).alias("lang_pred"),
         )
 
     def s_exact_dedup(spark, env):

@@ -19,7 +19,7 @@ from ferrobus_spark.functions.text import (
     STOPWORDS,
     WORD_RE,
     fingerprint_udf,
-    lang_id_udf,
+    lang_id_col,
     n_bpe_tokens_col,
     n_words_col,
 )
@@ -151,7 +151,7 @@ def q_lang_id_pred(spark, sf_dir):
     """Heuristic n-gram language ID; oracle = independent SQL restatement
     of the marker-count + first-max rule (plus pytest accuracy scoring)."""
     return _docs(spark, sf_dir).select(
-        "doc_id", lang_id_udf(F.col("text")).alias("lang_pred")
+        "doc_id", lang_id_col(F.col("text")).alias("lang_pred")
     )
 
 

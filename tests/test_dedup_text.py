@@ -100,6 +100,30 @@ def test_lang_id_accuracy(spark):
         assert r.pred == r.lang, r
 
 
+def test_lang_id_codegen_equals_udf(spark, corpus):
+    """The JVM-side lang_id_col (the hot-path impl) is prediction-
+    identical to the Arrow UDF reference on the corpus plus edge rows
+    (empty, null, ties, markerless)."""
+    from ferrobus_spark.functions.text import lang_id_col, lang_id_udf
+
+    edge = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [100001, 100002, 100003, 100004],
+                "text": ["", None, "the der le el il o", "zzz qqq xxx"],
+            }
+        )
+    )
+    df = corpus.select("doc_id", "text").unionByName(edge)
+    out = df.select(
+        "doc_id",
+        lang_id_udf(F.col("text")).alias("p_udf"),
+        lang_id_col(F.col("text")).alias("p_col"),
+    ).collect()
+    for r in out:
+        assert r.p_udf == r.p_col, (r.doc_id, r.p_udf, r.p_col)
+
+
 def test_quality_and_fingerprint_deterministic(spark, corpus):
     from ferrobus_spark.functions.text import fingerprint_udf, quality_score_col
 
