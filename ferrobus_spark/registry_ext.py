@@ -628,8 +628,59 @@ def q_knn_embeddings_bruteforce(spark, sf_dir):
     return res.select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
-@register("knn_embeddings_lsh")  # rows-only: approximate; recall pytest-scored
+def _knn_lsh_oracle() -> str:
+    """DuckDB twin of lsh_topk: the 64 fixed-seed hyperplanes embedded
+    as DOUBLE[] literals (like the minhash twin's 64 permutations), sign
+    bits via list_dot_product (normalization never changes a sign),
+    8×8-bit bucket packing, candidate equi-join on (table, bucket),
+    cosine re-rank under ROW_NUMBER. The output carries RANKS only, so
+    float noise matters solely at ordering ties — and the brute-force
+    query already proves rank-order agreement of the two engines'
+    cosines on this corpus."""
+    from ferrobus_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 64)
+    vals = ", ".join(
+        "(" + str(b) + ", [" + ", ".join(repr(float(w)) for w in planes[b]) + "])"
+        for b in range(64)
+    )
+    return f"""
+    WITH planes(bit, w) AS MATERIALIZED (VALUES {vals}),
+    signs AS MATERIALIZED (
+      SELECT e.vec_id, p.bit,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), p.w) >= 0 AS s
+      FROM embeddings e CROSS JOIN planes p
+    ),
+    buckets AS MATERIALIZED (
+      SELECT vec_id, bit // 8 AS tbl,
+             SUM(CASE WHEN s THEN 1 << (bit % 8) ELSE 0 END) AS bucket
+      FROM signs GROUP BY vec_id, bit // 8
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+      WHERE a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT cand.query_id, cand.neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY cand.query_id
+               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                        cand.neighbor_id
+             ) AS rank
+      FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+                JOIN embeddings c ON c.vec_id = cand.neighbor_id
+    ) WHERE rank <= 3
+    """
+
+
+@register("knn_embeddings_lsh", _knn_lsh_oracle)
 def q_knn_embeddings_lsh(spark, sf_dir):
+    """Random-hyperplane LSH approximate top-3, driver-gated: the DuckDB
+    twin recomputes sign buckets, candidates, and the cosine re-rank
+    from the same fixed-seed hyperplanes (constants, like the minhash
+    permutations); recall floors additionally pytest-scored and
+    planted-rank-1 gated (knn_lsh_planted)."""
     from ferrobus_spark.operators.similarity import lsh_topk
 
     emb = _read(spark, sf_dir, "embeddings")
