@@ -144,6 +144,25 @@ def curation_stages(
     ]
 
 
+def warc_pages_fn(warc_dir: str):
+    """pages_fn reading a crawl's WARC files (the production input path:
+    sources/warc.read_warc streams gzip members / Content-Length frames).
+    WARC records carry no doc id, so one is derived deterministically as
+    xxhash64(url, warc_ts) — stable across runs and resumes; downstream
+    "keep the MIN doc id" dedup rules then pick a deterministic (if
+    arbitrary) keeper per cluster, which is the right contract for crawl
+    data with no natural ordering."""
+
+    def s_pages(spark, env):
+        from ferrobus_spark.sources.warc import read_warc
+
+        return read_warc(spark, warc_dir).withColumn(
+            "doc_id", F.xxhash64("url", "warc_ts")
+        )
+
+    return s_pages
+
+
 def run_curation(
     spark: SparkSession,
     checkpoint_root: str,

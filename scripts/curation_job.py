@@ -26,6 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--warc-dir", default=None,
+                    help="read pages from WARC files (crawl input) instead "
+                         "of the parquet-derived synth")
     ap.add_argument("--checkpoint-root", default="/tmp/ferrobus_curation")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 8)))
     ap.add_argument("--min-quality", type=float, default=0.3)
@@ -33,14 +36,17 @@ def main() -> None:
     args = ap.parse_args()
 
     from ferrobus_spark.plans.checkpoint import pipeline_metrics
-    from ferrobus_spark.plans.curation import run_curation
+    from ferrobus_spark.plans.curation import run_curation, warc_pages_fn
     from ferrobus_spark.session import get_spark
     from ferrobus_spark.sources.pages import pages_table
 
     spark = get_spark("ferrobus-curation", master=f"local[{args.cpus}]")
 
-    def s_pages(spark_, env):
-        return pages_table(spark_, args.sf_dir)
+    if args.warc_dir:
+        s_pages = warc_pages_fn(args.warc_dir)
+    else:
+        def s_pages(spark_, env):
+            return pages_table(spark_, args.sf_dir)
 
     env = run_curation(
         spark, args.checkpoint_root, s_pages,
