@@ -208,6 +208,38 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    vectors: np.ndarray, n_lists: int, seed: int = 20240503, n_iter: int = 20
+) -> np.ndarray:
+    """Deterministic spherical k-means (seeded k-means++ init + Lloyd on
+    normalized vectors): the coarse quantizer is a pure function of
+    (sample, n_lists, seed), so correctness twins can recompute it
+    bit-for-bit — the reason this replaced MLlib KMeans, whose trained
+    centers were reproducible only by running MLlib again. Returns
+    row-normalized centroids."""
+    X = _normalize(np.asarray(vectors, np.float64))
+    rng = np.random.default_rng(seed)
+    n = len(X)
+    cents = [X[int(rng.integers(n))]]
+    d2 = np.full(n, np.inf)
+    for _ in range(1, n_lists):
+        d2 = np.minimum(d2, ((X - cents[-1]) ** 2).sum(axis=1))
+        s = d2.sum()
+        probs = d2 / s if s > 0 else np.full(n, 1.0 / n)
+        cents.append(X[int(rng.choice(n, p=probs))])
+    C = np.stack(cents)
+    for _ in range(n_iter):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine on normalized = dot
+        for j in range(n_lists):
+            m = assign == j
+            if m.any():
+                v = X[m].mean(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    C[j] = v / norm
+    return C
+
+
 def ivf_topk(
     spark: SparkSession,
     queries: DataFrame,
@@ -219,30 +251,24 @@ def ivf_topk(
     n_probe: int = 4,
     exclude_self: bool = True,
     seed: int = 20240503,
+    max_train: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer →
     corpus partitioned by nearest centroid (the inverted lists) → each
     query probes its ``n_probe`` nearest centroids and exact-reranks
     only those lists.
 
-    The scale shape: centroids are a tiny broadcast model; the
-    candidate join is an equi-join on ``list_id`` — corpus stays
-    distributed (unlike brute force) and each query touches
-    n_probe/n_lists of it. Uses Spark MLlib's KMeans for training
-    (deterministic seed).
+    The scale shape: centroids are a tiny broadcast model trained on a
+    bounded deterministic sample (first ``max_train`` ids — a TakeOrdered
+    top-k, not a full sort; the FAISS-style practice of training the
+    quantizer on a sample); the candidate join is an equi-join on
+    ``list_id`` — corpus stays distributed (unlike brute force) and each
+    query touches n_probe/n_lists of it.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    train = corpus.select(
-        id_col, array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    train = corpus.select(id_col, vec_col).orderBy(id_col).limit(max_train).toPandas()
+    cn = train_ivf_centroids(
+        np.stack(train[vec_col].to_numpy()), n_lists, seed
     )
-    model = KMeans(k=n_lists, seed=seed, featuresCol="features").fit(train)
-    centroids = np.stack([
-        c.toArray() if hasattr(c, "toArray") else np.asarray(c)
-        for c in model.clusterCenters()
-    ])
-    cn = _normalize(centroids)
     bc = spark.sparkContext.broadcast(cn)
 
     def assign(n_nearest: int):
@@ -258,7 +284,9 @@ def ivf_topk(
                 mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
                 ids = pdf[id_col].to_numpy(np.int64)
                 sims = mat @ cents.T  # (n, n_lists)
-                order = np.argsort(-sims, axis=1)[:, :n_nearest]
+                # stable sort: similarity ties break by centroid index,
+                # matching the SQL twin's (sim DESC, cid) window order
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :n_nearest]
                 rows = {"id": [], "vec": [], "list_id": []}
                 for i in range(len(ids)):
                     v = mat[i].tolist()

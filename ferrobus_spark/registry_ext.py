@@ -689,8 +689,72 @@ def q_knn_embeddings_lsh(spark, sf_dir):
     )
 
 
-@register("knn_embeddings_ivf")  # rows-only: approximate; recall pytest-scored
+def _knn_ivf_oracle() -> str:
+    """DuckDB twin of ivf_topk: the coarse quantizer is recomputed
+    INDEPENDENTLY of the engine run — the shared deterministic
+    spherical-k-means trainer (a pure function of sample/seed, the
+    reason MLlib was replaced) is re-run here on the same deterministic
+    sample read straight from the parquet, and the centroids embedded as
+    DOUBLE[] literals; list assignment (rank-1 centroid), query probing
+    (top-8 centroids), the list_id candidate equi-join, and the cosine
+    re-rank are then restated in SQL. Bound to the gate's sf directory
+    (SPARK_GRAFT_ORACLE_SF_DIR, default sf0.01) because the quantizer is
+    data-dependent — a row-count mismatch would surface loudly if the
+    gate ever moved sf."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ferrobus_spark.operators.similarity import train_ivf_centroids
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(100_000)
+    cn = train_ivf_centroids(np.stack(df["embedding"].to_numpy()), n_lists=16)
+    vals = ", ".join(
+        "(" + str(j) + ", [" + ", ".join(repr(float(w)) for w in cn[j]) + "])"
+        for j in range(len(cn))
+    )
+    return f"""
+    WITH cents(cid, w) AS MATERIALIZED (VALUES {vals}),
+    scored AS MATERIALIZED (
+      SELECT e.vec_id, c.cid,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.w) AS sim
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    ranked_lists AS MATERIALIZED (
+      SELECT vec_id, cid,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rn
+      FROM scored
+    ),
+    c_assign AS MATERIALIZED (SELECT vec_id, cid FROM ranked_lists WHERE rn = 1),
+    q_probe AS MATERIALIZED (SELECT vec_id, cid FROM ranked_lists WHERE rn <= 8),
+    cand AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM q_probe q JOIN c_assign c ON c.cid = q.cid
+      WHERE q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT cand.query_id, cand.neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY cand.query_id
+               ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC,
+                        cand.neighbor_id
+             ) AS rank
+      FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+                JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+    ) WHERE rank <= 3
+    """
+
+
+@register("knn_embeddings_ivf", _knn_ivf_oracle)
 def q_knn_embeddings_ivf(spark, sf_dir):
+    """IVF approximate top-3, driver-gated: the deterministic quantizer
+    (seeded spherical k-means over a bounded id-ordered sample) is
+    recomputed by the oracle from the raw parquet, and inverted-list
+    assignment, probing, and re-rank are restated in SQL. Recall floors
+    additionally pytest-scored and planted-rank-1 gated."""
     from ferrobus_spark.operators.similarity import ivf_topk
 
     emb = _read(spark, sf_dir, "embeddings")
