@@ -124,6 +124,43 @@ def test_lang_id_codegen_equals_udf(spark, corpus):
         assert r.p_udf == r.p_col, (r.doc_id, r.p_udf, r.p_col)
 
 
+def test_lang_id_codegen_equals_udf_fuzz(spark):
+    """Property fuzz of the codegen/UDF equivalence over a realistic
+    alphabet (letters incl. accents, digits, punctuation, space/tab/
+    newline). Exotic unicode whitespace is deliberately excluded —
+    Java's and Python's \\s classes differ there (documented caveat in
+    lang_id_col); within real-text characters the two implementations
+    must agree exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ferrobus_spark.functions.text import lang_id_col, lang_id_udf
+
+    alphabet = st.sampled_from(
+        list("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+             "0123456789 .,;:!?'\"()- \t\néüñàçß le der el the il o de")
+    )
+    texts_strategy = st.lists(
+        st.text(alphabet=alphabet, min_size=0, max_size=120),
+        min_size=1, max_size=24,
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(texts=texts_strategy)
+    def check(texts):
+        df = spark.createDataFrame(
+            pd.DataFrame({"i": range(len(texts)), "text": texts})
+        )
+        out = df.select(
+            lang_id_udf(F.col("text")).alias("p_udf"),
+            lang_id_col(F.col("text")).alias("p_col"),
+        ).collect()
+        for r in out:
+            assert r.p_udf == r.p_col, (r.p_udf, r.p_col)
+
+    check()
+
+
 def test_quality_and_fingerprint_deterministic(spark, corpus):
     from ferrobus_spark.functions.text import fingerprint_udf, quality_score_col
 
