@@ -19,6 +19,13 @@ ROWS_ONLY = sorted(
 )
 
 
+def test_every_query_carries_an_oracle():
+    """Since round 4 the rows-only set is empty by construction — every
+    registered query is hash-gated. Regressing a query to rows-only
+    should be a deliberate, visible act."""
+    assert set(entry_mod.queries()) == set(entry_mod.oracle_sql())
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_query_runs(spark, name):
     df = entry_mod.queries()[name](spark, SF_DIR)
