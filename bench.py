@@ -37,10 +37,9 @@ HEADLINE = [
 ]
 
 
-def force(df) -> int:
-    """Force full computation; return row count via a cheap count agg."""
+def force(df) -> None:
+    """Force full computation through the noop sink (no output cost)."""
     df.write.mode("overwrite").format("noop").save()
-    return -1
 
 
 def main() -> None:

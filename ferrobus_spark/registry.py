@@ -168,7 +168,9 @@ _KNN_DIST = haversine_sql("lon", "lat", "slon", "slat")
 @register(
     "knn_nearest_stop",
     f"""
-    SELECT doc_id, stop_id, dist_m FROM (
+    SELECT doc_id, stop_id,
+           CAST(ROUND(dist_m * 1000000) AS BIGINT) AS dist_um
+    FROM (
       SELECT d.doc_id, s.stop_id, {_KNN_DIST} AS dist_m,
              ROW_NUMBER() OVER (
                PARTITION BY d.doc_id ORDER BY {_KNN_DIST}, s.stop_id
@@ -193,7 +195,16 @@ def q_knn_nearest_stop(spark, sf_dir):
         docs.crossJoin(F.broadcast(stops))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("doc_id", "stop_id", F.expr(_KNN_DIST).alias("dist_m"))
+        .select(
+            "doc_id",
+            "stop_id",
+            # micrometer fixed point: DuckDB's and the JVM's libm differ
+            # by 1 ulp on the haversine transcendentals for ~1/2500 rows
+            # (seen at sf0.1); the 1e-6 m grid is 7 orders above that
+            F.round(F.expr(_KNN_DIST) * F.lit(1e6))
+            .cast("long")
+            .alias("dist_um"),
+        )
     )
 
 

@@ -536,21 +536,33 @@ def q_simhash_near_pairs(spark, sf_dir):
     return simhash_near_pairs(simhash_col(_docs(spark, sf_dir)), max_hamming=3)
 
 
+_SHINGLE_SET_SQL = """
+      SELECT doc_id,
+             list_sort(array_agg(DISTINCT substr(text, CAST(i + 1 AS INT), 5)))
+               AS s
+      FROM {src}, unnest(range(0, length(text) - 4)) AS t(i)
+      GROUP BY doc_id
+"""
+
+
 @register(
     "ngram_exact_dups",
-    """
+    f"""
+    WITH sh AS ({_SHINGLE_SET_SQL.format(src="documents")})
     SELECT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM documents a JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
     """,
 )
 def q_ngram_exact_dups(spark, sf_dir):
-    """Jaccard == 1.0 pairs from the LSH pipeline ≡ exact text dups.
-
-    (On this corpus texts are either identical or far apart, so the
-    full minhash→LSH→exact-Jaccard refine chain must land exactly on
-    the equality self-join — a strong end-to-end oracle for the whole
-    dedup stack.)
-    """
+    """Jaccard == 1.0 pairs from the LSH pipeline ≡ equal 5-shingle
+    SETS — the oracle states exactly that (sorted distinct 5-gram list
+    equality). NOT string equality: appending a repeat of an existing
+    suffix ("… dup dup" → "… dup dup dup") adds no new 5-grams, so
+    shingle-set Jaccard is 1.0 for unequal strings — sf0.1 contains
+    such a pair (docs 933/1985) and the engine correctly reports it.
+    Equal sets always share full minhash signatures, so LSH candidacy
+    at any threshold is guaranteed and the chain is exact, not
+    approximate, for this query."""
     from ferrobus_spark.operators.dedup import (
         minhash_lsh_pairs,
         minhash_signatures,
@@ -566,23 +578,25 @@ def q_ngram_exact_dups(spark, sf_dir):
 
 @register(
     "dedup_planted_dups",
-    """
+    f"""
     WITH uni AS (
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
-    )
+    ),
+    sh AS ({_SHINGLE_SET_SQL.format(src="uni")})
     SELECT a.doc_id AS id_a, b.doc_id AS id_b
-    FROM uni a JOIN uni b ON a.text = b.text AND a.doc_id < b.doc_id
+    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
     """,
 )
 def q_dedup_planted(spark, sf_dir):
     """POSITIVE evidence for the dedup chain: plant an id-shifted copy of
     every 10th document, run the full minhash → LSH → exact-Jaccard
     refine pipeline over the union, and require it to land exactly on
-    the text-equality self-join — nonzero rows (the ``ngram_exact_dups``
-    query proves only the no-false-positives direction, since the sf0.01
-    corpus has no duplicate texts)."""
+    the 5-shingle-set-equality self-join — nonzero rows (the
+    ``ngram_exact_dups`` query proves only the no-false-positives
+    direction on corpora without natural duplicates; see its docstring
+    for why set equality, not string equality, is the contract)."""
     from ferrobus_spark.operators.dedup import (
         minhash_lsh_pairs,
         minhash_signatures,
