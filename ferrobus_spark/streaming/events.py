@@ -167,3 +167,60 @@ def run_available_now(
     )
     q.awaitTermination()
     return session.sql(f"SELECT * FROM {query_name}").collect()
+
+
+DOCS_SCHEMA = (
+    "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+)
+
+
+def read_pages_stream(spark: SparkSession, path_dir: str) -> DataFrame:
+    """File-source stream over documents parquet, with the page columns
+    (warc_ts, lon, lat) derived by the SAME shared expressions as the
+    batch pages table (sources/pages.py) — the streaming ingestion twin
+    of the crawl feed."""
+    from ferrobus_spark.functions.geo import lonlat_cols
+
+    docs = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path_dir)
+    )
+    h = (F.col("doc_id") * 2654435761) % 4294967296
+    lon, lat = lonlat_cols("doc_id")
+    return docs.select(
+        "doc_id",
+        (
+            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.make_interval(secs=(h % 2592000).cast("double"))
+        ).alias("warc_ts"),
+        lon.alias("lon"),
+        lat.alias("lat"),
+    )
+
+
+def streaming_tile_counts(
+    pages: DataFrame, window: str = "1 hour", watermark: str = "1 day"
+) -> DataFrame:
+    """Watermarked per-tile ingestion heat map — the streaming twin of
+    the batch ``tile_histogram`` headline query: hex cell (res 9, shared
+    codegen SQL) per page, tumbling-window counts per (window, cell) as
+    the crawl arrives, late fetches admitted inside the watermark. The
+    cell derivation stays whole-stage-codegen inside the stream's
+    stateful agg; state is keyed (window, cell), so hot cells shard
+    across the shuffle like the batch plan's skewed agg."""
+    from ferrobus_spark.registry import CELL_REF_SQL
+
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(
+            F.window("warc_ts", window).alias("w"),
+            F.expr(CELL_REF_SQL).alias("cell"),
+        )
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "cell",
+            "n_pages",
+        )
+    )

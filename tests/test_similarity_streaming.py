@@ -205,3 +205,47 @@ def test_streaming_url_first_seen(spark, sf_dir, tmp_path):
     assert got == exp
     assert len(got) == 200  # every re-crawl collapsed onto its original
     assert all(u.startswith("https://") and "#" not in u for u in got)
+
+
+def test_streaming_tile_counts(spark, sf_dir, tmp_path):
+    """Streaming per-tile heat map ≡ the batch tile histogram over the
+    same derived (warc_ts, cell) columns."""
+    import shutil
+
+    from ferrobus_spark.registry import CELL_REF_SQL
+    from ferrobus_spark.streaming.events import (
+        read_pages_stream,
+        run_available_now,
+        streaming_tile_counts,
+    )
+
+    src = tmp_path / "pages_stream"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/documents.parquet", src / "part-0.parquet")
+
+    stream = read_pages_stream(spark, str(src))
+    assert stream.isStreaming
+    rows = run_available_now(streaming_tile_counts(stream), "tile_counts_t")
+
+    from ferrobus_spark.functions.geo import lonlat_cols
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = (F.col("doc_id") * 2654435761) % 4294967296
+    lon, lat = lonlat_cols("doc_id")
+    exp = (
+        docs.select(
+            (
+                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+                + F.make_interval(secs=(h % 2592000).cast("double"))
+            ).alias("warc_ts"),
+            lon.alias("lon"),
+            lat.alias("lat"),
+        )
+        .groupBy(F.window("warc_ts", "1 hour").alias("w"), F.expr(CELL_REF_SQL).alias("cell"))
+        .agg(F.count("*").alias("n_pages"))
+        .select(F.col("w.start").alias("window_start"), "cell", "n_pages")
+        .collect()
+    )
+    got = {(r.window_start, r.cell): r.n_pages for r in rows}
+    want = {(r.window_start, r.cell): r.n_pages for r in exp}
+    assert got == want and len(got) > 10
