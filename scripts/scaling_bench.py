@@ -89,8 +89,17 @@ Headline per-query timings live in the driver's BENCH_r{{N}}.json
 (bench.py at sf0.1); this file carries the two-cluster-size evidence
 the sandbox cannot produce with a real multi-node cluster.
 """
-    with open(os.path.join(ROOT, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    out_path = os.path.join(ROOT, "BENCH", "BASELINE.md")
+    # preserve manually-appended per-round artifact sections ("## Round…")
+    # across re-runs — only the generated scaling section is replaced
+    appendix = ""
+    if os.path.exists(out_path):
+        old = open(out_path).read()
+        idx = old.find("\n## Round")
+        if idx != -1:
+            appendix = old[idx:]
+    with open(out_path, "w") as f:
+        f.write(md + appendix)
     print(json.dumps({"efficiency": round(eff, 3), "n": r_n, "n4": r_4n}))
 
 
