@@ -1185,13 +1185,14 @@ def q_events_sessionize(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# transit engine products on the synthetic fixture. Four of the six are
-# DRIVER-ORACLE-CHECKED: ferrobus_spark/transit_oracle_sql.py generates
-# DuckDB SQL that recomputes the RAPTOR rounds + product algebra from
-# VALUES CTEs of the independent pure-Python model build (see that
-# module's docstring). detailed_journeys / journey_geojson remain
-# rows-only (leg reconstruction is genuinely non-SQL); their exactness
-# is enforced by the pytest golden suite.
+# transit engine products on the synthetic fixture — ALL driver-oracle-
+# checked: ferrobus_spark/transit_oracle_sql.py generates DuckDB SQL
+# that recomputes the RAPTOR rounds + product algebra from VALUES CTEs
+# of the independent pure-Python model build (see that module's
+# docstring); detailed_journeys / journey_geojson compare against the
+# twin's own traced-RAPTOR leg + geometry reconstruction emitted as
+# VALUES (leg backtracking is genuinely non-SQL). The pytest golden
+# suite additionally pins both against the reference's fixtures.
 # ---------------------------------------------------------------------------
 
 

@@ -589,7 +589,8 @@ def detailed_journeys_oracle_sql(
     label/predecessor implementation of traced_raptor.rs /
     itinerary/mod.rs:15-119, not the engine) and emitted as a VALUES
     CTE, like the model tables feeding the other transit oracles. The
-    GeoJSON string product stays rows-only (string formatting)."""
+    GeoJSON string product has its own byte-exact VALUES oracle (see
+    journey_geojson_oracle_sql)."""
     to = _pyoracle()
     model, _rs, _st, _tr, pts = _ctx()
     rows = to.detailed_journey_legs(
