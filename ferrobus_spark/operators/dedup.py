@@ -30,6 +30,13 @@ from pyspark.sql import types as T
 MERSENNE = (1 << 61) - 1
 _A = 0x9E3779B97F4A7C15
 
+#: Canonical signature length. `minhash_signatures`' default and every
+#: consumer that slices/normalizes signatures (curation pipeline, the
+#: registry oracles' banding/est_jaccard SQL) import THIS constant, so
+#: changing the signature length cannot silently desynchronize the
+#: banding slices from the est_jaccard denominator.
+N_HASHES = 64
+
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
     """Distinct k-char-shingle hashes (uint64) via polynomial rolling hash."""
@@ -108,7 +115,7 @@ def _minhash_params(n_hashes: int) -> tuple[np.ndarray, np.ndarray]:
 
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    n_hashes: int = 64, shingle: int = 5,
+    n_hashes: int = N_HASHES, shingle: int = 5,
 ) -> DataFrame:
     """(id, signature array<long>) — Arrow-batched, no per-row Python.
 
@@ -149,7 +156,7 @@ def minhash_signatures(
 
 def minhash_lsh_pairs(
     sigs: DataFrame, n_bands: int = 16, threshold: float = 0.5,
-    n_hashes: int | None = None,
+    n_hashes: int | None = None, max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Banded LSH join → (id_a, id_b, est_jaccard ≥ threshold).
 
@@ -166,6 +173,29 @@ def minhash_lsh_pairs(
     Pass ``n_hashes`` (the signature length the caller built with) to
     avoid a driver ``first()`` probe job in this hot path; ``None``
     falls back to probing for ad-hoc use.
+
+    **Hot-bucket guard** (``max_bucket_size``, default 256): the
+    bucket self-join emits k² candidates for a k-member bucket, and
+    AQE's skew split rebalances *partitions*, not the cross-product
+    itself — a real web corpus has millions of near-identical
+    boilerplate/template pages that survive exact dedup and land in
+    ONE bucket (we measured exactly this blowup exhaust a disk at 2M
+    rows, see BENCH/BASELINE.md round-4 notes). Buckets whose member
+    count exceeds the cap are routed to a bounded fallback instead of
+    the self-join: members are sub-grouped by a hash of their FULL
+    signature (the finest possible sub-band), and each
+    identical-signature group emits a STAR (min-id → member) of k-1
+    pairs — est_jaccard for those pairs is 1.0 by construction, and a
+    downstream connected-components consumer sees the identical
+    component it would have seen from all k² edges. Hot-bucket members
+    whose full signature is unique within the bucket are dropped from
+    *that band only* (other bands still catch them; if every band is
+    hot the pair is lost — the standard drop-with-bounded-work trade,
+    cf. the per-source work bound that keeps the reference's
+    transfers.rs:178-204 tractable). Use
+    :func:`lsh_hot_bucket_stats` to log how much the guard touched;
+    ``max_bucket_size=None`` disables the guard (exact all-pairs
+    semantics, only safe on corpora known to be template-free).
     """
     sigs = sigs.localCheckpoint()
     if n_hashes is None:
@@ -173,6 +203,7 @@ def minhash_lsh_pairs(
     rows_per_band = n_hashes // n_bands
     bands = sigs.select(
         "id",
+        F.hash("signature").alias("sig_hash"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -180,14 +211,35 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    a = bands.select(F.col("id").alias("id_a"), "band", "bucket")
-    b = bands.select(F.col("id").alias("id_b"), "band", "bucket")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "bucket")
+        bands = bands.withColumn("bsize", F.count(F.lit(1)).over(w))
+        cold = bands.filter(F.col("bsize") <= max_bucket_size)
+        # hot buckets: star edges inside identical-full-signature groups.
+        # The window below reuses the (band, bucket) exchange already
+        # paid for the count — no extra shuffle for the sub-grouping.
+        wg = Window.partitionBy("band", "bucket", "sig_hash")
+        hot_star = (
+            bands.filter(F.col("bsize") > max_bucket_size)
+            .withColumn("gmin", F.min("id").over(wg))
+            .filter(F.col("id") != F.col("gmin"))
+            .select(F.col("gmin").alias("id_a"), F.col("id").alias("id_b"))
+        )
+    else:
+        cold = bands
+        hot_star = None
+    a = cold.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = cold.select(F.col("id").alias("id_b"), "band", "bucket")
     cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
-        .distinct()
     )
+    if hot_star is not None:
+        cand = cand.unionByName(hot_star)
+    cand = cand.distinct()
     sa = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
     agree = F.aggregate(
@@ -201,6 +253,40 @@ def minhash_lsh_pairs(
         .withColumn("est_jaccard", agree / F.lit(float(n_hashes)))
         .filter(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def lsh_hot_bucket_stats(
+    sigs: DataFrame, n_bands: int = 16, n_hashes: int = N_HASHES,
+    max_bucket_size: int = 256,
+) -> DataFrame:
+    """(band, bucket, members, exact_groups) for every bucket over the cap.
+
+    The observability companion to :func:`minhash_lsh_pairs`'s hot-bucket
+    guard: run it (cheap — one groupBy over the band explode, no join) to
+    log how many buckets the guard touched, how many members they held,
+    and how many identical-signature groups survive via the star
+    fallback. ``members - exact-group coverage`` is the upper bound on
+    docs whose candidacy was dropped from that band.
+    """
+    rows_per_band = n_hashes // n_bands
+    bands = sigs.select(
+        "id",
+        F.hash("signature").alias("sig_hash"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.hash(F.slice("signature", b * rows_per_band + 1, rows_per_band)),
+            )
+        ).alias("band", "bucket"),
+    )
+    return (
+        bands.groupBy("band", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("members"),
+            F.countDistinct("sig_hash").alias("exact_groups"),
+        )
+        .filter(F.col("members") > max_bucket_size)
     )
 
 

@@ -31,7 +31,7 @@ from ferrobus_spark.functions.text import (
     quality_score_col,
 )
 from ferrobus_spark.functions.urls import canonical_url_col, url_host_col
-from ferrobus_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
+from ferrobus_spark.operators.dedup import N_HASHES, minhash_lsh_pairs, minhash_signatures
 from ferrobus_spark.operators.html_text import parse_html
 from ferrobus_spark.plans.checkpoint import run_pipeline
 from ferrobus_spark.plans.iterative import connected_components
@@ -112,7 +112,7 @@ def curation_stages(
     def s_near_dedup(spark, env):
         t = env["exact_dedup"]
         sigs = minhash_signatures(t, id_col="doc_id", text_col="extracted_text")
-        pairs = minhash_lsh_pairs(sigs, threshold=near_dup_threshold, n_hashes=64).select(
+        pairs = minhash_lsh_pairs(sigs, threshold=near_dup_threshold, n_hashes=N_HASHES).select(
             "id_a", "id_b"
         )
         # duplicate clusters → keep the minimum doc of each component

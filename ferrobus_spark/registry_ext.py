@@ -423,11 +423,11 @@ def _minhash_oracle() -> str:
     that also passes the ≥0.5 agreement filter — not present in this
     deterministic corpus (the gate would surface it). ASCII/len≥5
     corpus assumptions as in the fingerprint oracle."""
-    from ferrobus_spark.operators.dedup import MERSENNE, _minhash_params
+    from ferrobus_spark.operators.dedup import MERSENNE, N_HASHES, _minhash_params
 
-    a, b = _minhash_params(64)
+    a, b = _minhash_params(N_HASHES)
     params = ", ".join(
-        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(64)
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(N_HASHES)
     )
     m64 = 1 << 64
     h = "CAST(0 AS HUGEINT)"
@@ -457,8 +457,8 @@ def _minhash_oracle() -> str:
         FROM sigs sa
         JOIN sigs sb ON sb.hidx = sa.hidx AND sb.sig = sa.sig
                     AND sa.doc_id < sb.doc_id
-        GROUP BY sa.doc_id, sb.doc_id, sa.hidx // 4
-        HAVING COUNT(*) = 4
+        GROUP BY sa.doc_id, sb.doc_id, sa.hidx // {N_HASHES // 16}
+        HAVING COUNT(*) = {N_HASHES // 16}
       )
     )
     SELECT c.id_a, c.id_b
@@ -467,16 +467,16 @@ def _minhash_oracle() -> str:
     JOIN sigs sb ON sb.doc_id = c.id_b AND sb.hidx = sa.hidx
                 AND sb.sig = sa.sig
     GROUP BY c.id_a, c.id_b
-    HAVING COUNT(*) >= 32
+    HAVING COUNT(*) >= {N_HASHES // 2}
     """
 
 
 @register("minhash_dup_pairs", _minhash_oracle)
 def q_minhash_dup_pairs(spark, sf_dir):
-    from ferrobus_spark.operators.dedup import minhash_lsh_pairs, minhash_signatures
+    from ferrobus_spark.operators.dedup import N_HASHES, minhash_lsh_pairs, minhash_signatures
 
     sigs = minhash_signatures(_docs(spark, sf_dir))
-    return minhash_lsh_pairs(sigs, threshold=0.5, n_hashes=64).select("id_a", "id_b")
+    return minhash_lsh_pairs(sigs, threshold=0.5, n_hashes=N_HASHES).select("id_a", "id_b")
 
 
 def _simhash_oracle() -> str:
@@ -564,6 +564,7 @@ def q_ngram_exact_dups(spark, sf_dir):
     at any threshold is guaranteed and the chain is exact, not
     approximate, for this query."""
     from ferrobus_spark.operators.dedup import (
+        N_HASHES,
         minhash_lsh_pairs,
         minhash_signatures,
         ngram_jaccard_pairs,
@@ -571,7 +572,7 @@ def q_ngram_exact_dups(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     sigs = minhash_signatures(docs)
-    cand = minhash_lsh_pairs(sigs, threshold=0.9, n_hashes=64).select("id_a", "id_b")
+    cand = minhash_lsh_pairs(sigs, threshold=0.9, n_hashes=N_HASHES).select("id_a", "id_b")
     exact = ngram_jaccard_pairs(docs, cand)
     return exact.filter(F.col("jaccard") == 1.0).select("id_a", "id_b")
 
@@ -598,6 +599,7 @@ def q_dedup_planted(spark, sf_dir):
     direction on corpora without natural duplicates; see its docstring
     for why set equality, not string equality, is the contract)."""
     from ferrobus_spark.operators.dedup import (
+        N_HASHES,
         minhash_lsh_pairs,
         minhash_signatures,
         ngram_jaccard_pairs,
@@ -609,7 +611,7 @@ def q_dedup_planted(spark, sf_dir):
     )
     uni = docs.unionByName(planted)
     sigs = minhash_signatures(uni)
-    cand = minhash_lsh_pairs(sigs, threshold=0.9, n_hashes=64).select("id_a", "id_b")
+    cand = minhash_lsh_pairs(sigs, threshold=0.9, n_hashes=N_HASHES).select("id_a", "id_b")
     exact = ngram_jaccard_pairs(uni, cand)
     return exact.filter(F.col("jaccard") == 1.0).select("id_a", "id_b")
 

@@ -177,3 +177,68 @@ def test_quality_and_fingerprint_deterministic(spark, corpus):
     fp = dict(zip(a["doc_id"], a["fp"]))
     assert fp[0] == fp[1]
     assert fp[0] != fp[4]
+
+
+def test_hot_bucket_guard_bounds_template_blowup(spark):
+    """Thousands of near-identical template docs must NOT produce a k²
+    candidate cross-product (the round-4 disk-exhaustion blowup), while
+    (a) byte-identical templates stay one connected component via the
+    exact-signature star fallback and (b) normal planted dup pairs are
+    still recovered. This is the operator-side hardening the round-4
+    bench sidestepped by changing the corpus."""
+    import random
+
+    rng = random.Random(20240517)
+    tmpl = "breaking news boilerplate header nav footer copyright " * 30
+    rows = [(i, tmpl) for i in range(3000)]  # one giant hot bucket per band
+    vocab = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliett kilo lima mike november oscar papa").split()
+    planted = []
+    for i in range(20):
+        base = " ".join(rng.choice(vocab) for _ in range(300)) + f" doc{i}"
+        a, b = 10000 + 2 * i, 10001 + 2 * i
+        rows.append((a, base))
+        rows.append((b, base + " trailing tweak"))
+        planted.append((a, b))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sigs = minhash_signatures(df)
+    pairs = minhash_lsh_pairs(sigs, threshold=0.5, n_hashes=64,
+                              max_bucket_size=256)
+    got = pairs.toPandas()
+    # bounded: 2999 star edges + all-pairs among the 40 (small-vocab, hence
+    # mutually similar) planted docs — nowhere near 3000*2999/2 ≈ 4.5M
+    assert len(got) < 3000 + 40 * 39 // 2
+    tmpl_edges = got[(got.id_a < 3000) & (got.id_b < 3000)]
+    # star from the min id reaches every other template doc → one component
+    assert len(tmpl_edges) == 2999
+    assert set(tmpl_edges.id_a) == {0}
+    assert set(tmpl_edges.id_b) == set(range(1, 3000))
+    assert (tmpl_edges_est := got[(got.id_a < 3000)]["est_jaccard"]).min() == 1.0
+    found = set(map(tuple, got[["id_a", "id_b"]].itertuples(index=False)))
+    missed = [p for p in planted if p not in found]
+    assert not missed, f"guard lost planted dups: {missed}"
+    # observability companion reports the hot buckets
+    from ferrobus_spark.operators.dedup import lsh_hot_bucket_stats
+
+    stats = lsh_hot_bucket_stats(sigs, max_bucket_size=256).toPandas()
+    assert len(stats) == 16  # every band's template bucket is hot
+    assert (stats.members == 3000).all()
+    assert (stats.exact_groups == 1).all()
+
+
+def test_hot_bucket_guard_noop_below_cap(spark):
+    """With no bucket over the cap, guarded output ≡ unguarded output."""
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(50)]
+    rows = []
+    for i in range(120):
+        rows.append((i, " ".join(rng.choice(words, 80))))
+    for i in range(10):  # planted exact dups
+        rows.append((1000 + i, rows[i][1]))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sigs = minhash_signatures(df)
+    guarded = minhash_lsh_pairs(sigs, n_hashes=64, max_bucket_size=256).toPandas()
+    exact = minhash_lsh_pairs(sigs, n_hashes=64, max_bucket_size=None).toPandas()
+    key = lambda d: sorted(map(tuple, d[["id_a", "id_b"]].itertuples(index=False)))
+    assert key(guarded) == key(exact)
+    assert len(guarded) >= 10
