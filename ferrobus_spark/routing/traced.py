@@ -375,20 +375,31 @@ def legs_to_geojson_model(
     import json as _json
 
     spark = legs.sparkSession
-    patterns = {
-        int(r.route_idx): [int(s) for s in r.pattern]
-        for r in model["routes_with_pattern"].select("route_idx", "pattern").collect()
-    }
-    stops = {
-        int(r.stop_idx): (float(r.lon), float(r.lat))
-        for r in model["stops_dim"].select("stop_idx", "lon", "lat").collect()
+    patterns = {}
+    route_ids = {}
+    for r in model["routes_with_pattern"].select(
+        "route_idx", "route_id", "pattern"
+    ).collect():
+        patterns[int(r.route_idx)] = [int(s) for s in r.pattern]
+        route_ids[int(r.route_idx)] = str(r.route_id)
+    stops = {}
+    stop_names = {}
+    for r in model["stops_dim"].select("stop_idx", "stop_id", "lon", "lat").collect():
+        stops[int(r.stop_idx)] = (float(r.lon), float(r.lat))
+        # the reference's transit_stop_name returns the GTFS stop_id
+        # string (model/transit/data.rs:59-66), not stops.txt stop_name
+        stop_names[int(r.stop_idx)] = str(r.stop_id)
+    trip_ids = {
+        (int(r.route_idx), int(r.trip_pos)): str(r.trip_id)
+        for r in model["trips_dim"].select("route_idx", "trip_pos", "trip_id").collect()
     }
     s2n = {
         int(r.stop_idx): int(r.node_id)
         for r in model["stop_nodes"].select("stop_idx", "node_id").collect()
     }
     bc = spark.sparkContext.broadcast(
-        (patterns, stops, s2n, model.csr, model.max_transfer_time)
+        (patterns, stops, s2n, model.csr, model.max_transfer_time,
+         stop_names, route_ids, trip_ids)
     )
 
     if od_points is not None:
@@ -410,10 +421,13 @@ def legs_to_geojson_model(
     def kernel(batches):
         from ferrobus_spark.routing.csr import bounded_dijkstra_path
 
-        pat_, stops_, s2n_, csr_, mtt_ = bc.value
+        pat_, stops_, s2n_, csr_, mtt_, names_, rids_, tids_ = bc.value
 
         def coord(stop, pt):
             return list(stops_[int(stop)]) if int(stop) >= 0 else pt
+
+        def name(stop):
+            return names_.get(int(stop), "") if int(stop) >= 0 else ""
 
         for pdf in batches:
             rows = []
@@ -422,6 +436,10 @@ def legs_to_geojson_model(
                 fs, ts = int(r.from_stop), int(r.to_stop)
                 opt = [r.o_lon, r.o_lat] if r.o_lon is not None and not pd.isna(r.o_lon) else None
                 dpt = [r.d_lon, r.d_lat] if r.d_lon is not None and not pd.isna(r.d_lon) else None
+                # journey-relative leg index: the access walk occupies
+                # engine leg_idx 0, while the reference enumerates only
+                # the transit journey's legs (to_geojson.rs:29-32)
+                jleg_idx = int(r.leg_idx) - 1
                 if kind == "wait":
                     geom = {"type": "Point", "coordinates": list(stops_[ts])}
                     leg_type = "waiting"
@@ -463,16 +481,50 @@ def legs_to_geojson_model(
                         a = a or [None, None]
                         b = b or [None, None]
                     geom = {"type": "LineString", "coordinates": [a, b]}
-                feat = {
-                    "type": "Feature",
-                    "geometry": geom,
-                    "properties": {
+                # per-leg-type property sets, exactly the reference's
+                # (to_geojson.rs:113-123 transit, :142-151 transfer,
+                # :165-169 waiting, journey_leg.rs:47-63 walks)
+                if leg_type == "transit":
+                    props = {
                         "leg_type": leg_type,
-                        "leg_index": int(r.leg_idx),
+                        "leg_index": jleg_idx,
+                        "route_id": rids_.get(int(r.route_idx), ""),
+                        "trip_id": tids_.get((int(r.route_idx), int(r.trip_pos)), ""),
+                        "from_name": name(fs),
+                        "to_name": name(ts),
                         "departure_time": int(r.depart),
                         "arrival_time": int(r.arrive),
                         "duration": int(r.arrive) - int(r.depart),
-                    },
+                    }
+                elif leg_type == "transfer":
+                    props = {
+                        "leg_type": leg_type,
+                        "leg_index": jleg_idx,
+                        "from_name": name(fs),
+                        "to_name": name(ts),
+                        "departure_time": int(r.depart),
+                        "arrival_time": int(r.arrive),
+                        "duration": int(r.arrive) - int(r.depart),
+                    }
+                elif leg_type == "waiting":
+                    props = {
+                        "leg_type": leg_type,
+                        "duration": int(r.arrive) - int(r.depart),
+                        "stop_name": name(ts),
+                    }
+                else:  # access/egress/direct walks
+                    props = {
+                        "leg_type": leg_type,
+                        "from_name": name(fs),
+                        "to_name": name(ts),
+                        "departure_time": int(r.depart),
+                        "arrival_time": int(r.arrive),
+                        "duration": int(r.arrive) - int(r.depart),
+                    }
+                feat = {
+                    "type": "Feature",
+                    "geometry": geom,
+                    "properties": props,
                 }
                 rows.append((int(r.pair_id), int(r.leg_idx), _json.dumps(feat)))
             yield pd.DataFrame(rows, columns=["pair_id", "leg_idx", "feature"])

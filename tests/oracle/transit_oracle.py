@@ -923,9 +923,15 @@ def journey_geojson_rows(model: Model, points: dict, od_pairs, departure: int,
 
     lons = model.stops["stop_lon"].astype(float).tolist()
     lats = model.stops["stop_lat"].astype(float).tolist()
+    # reference naming: transit_stop_name = the GTFS stop_id string
+    # (model/transit/data.rs:59-66)
+    sids = model.stops["stop_id"].astype(str).tolist()
 
     def sxy(s):
         return [lons[int(s)], lats[int(s)]]
+
+    def sname(s):
+        return sids[int(s)] if int(s) >= 0 else ""
 
     legs = detailed_journey_legs(model, points, od_pairs, departure, max_transfers)
     by_pair: dict[int, list] = {}
@@ -935,7 +941,7 @@ def journey_geojson_rows(model: Model, points: dict, od_pairs, departure: int,
     out = []
     for pid in sorted(by_pair):
         feats = []
-        for (_p, leg_idx, kind, fs, ts, dep, arr, ridx, _tpos) in sorted(
+        for (_p, leg_idx, kind, fs, ts, dep, arr, ridx, tpos) in sorted(
             by_pair[pid], key=lambda r: r[1]
         ):
             if kind == "wait":
@@ -977,16 +983,51 @@ def journey_geojson_rows(model: Model, points: dict, od_pairs, departure: int,
                     else "direct_walk"
                 )
                 geom = {"type": "LineString", "coordinates": [a, b]}
-            feats.append(json.dumps({
-                "type": "Feature",
-                "geometry": geom,
-                "properties": {
+            # property sets per leg type, the reference's exactly
+            # (to_geojson.rs transit/transfer/waiting, journey_leg.rs
+            # walks); leg_index is journey-relative (access walk at
+            # engine idx 0 is not a transit-journey leg)
+            if leg_type == "transit":
+                props = {
                     "leg_type": leg_type,
-                    "leg_index": int(leg_idx),
+                    "leg_index": int(leg_idx) - 1,
+                    "route_id": model.routes[int(ridx)].route_id,
+                    "trip_id": model.routes[int(ridx)].trip_ids[int(tpos)],
+                    "from_name": sname(fs),
+                    "to_name": sname(ts),
                     "departure_time": int(dep),
                     "arrival_time": int(arr),
                     "duration": int(arr) - int(dep),
-                },
+                }
+            elif leg_type == "transfer":
+                props = {
+                    "leg_type": leg_type,
+                    "leg_index": int(leg_idx) - 1,
+                    "from_name": sname(fs),
+                    "to_name": sname(ts),
+                    "departure_time": int(dep),
+                    "arrival_time": int(arr),
+                    "duration": int(arr) - int(dep),
+                }
+            elif leg_type == "waiting":
+                props = {
+                    "leg_type": leg_type,
+                    "duration": int(arr) - int(dep),
+                    "stop_name": sname(ts),
+                }
+            else:
+                props = {
+                    "leg_type": leg_type,
+                    "from_name": sname(fs),
+                    "to_name": sname(ts),
+                    "departure_time": int(dep),
+                    "arrival_time": int(arr),
+                    "duration": int(arr) - int(dep),
+                }
+            feats.append(json.dumps({
+                "type": "Feature",
+                "geometry": geom,
+                "properties": props,
             }))
         out.append((pid, '{"type": "FeatureCollection", "features": ['
                     + ", ".join(feats) + "]}"))
