@@ -15,12 +15,16 @@ Classic Common-Crawl-scale workloads over the ``extract_links`` output:
   output, verified against a NumPy power-iteration oracle in
   tests/test_linkgraph.py.
 
-Scale notes: each PageRank round is contribs = edges ⋈ ranks (shuffle on
-src) → groupBy(dst) sum (shuffle on dst). Pre-partitioning both edges
-and ranks by the join key — or bucketing the edge table
-(operators/bucketing.py) — removes the per-round re-shuffle of the edge
-side; AQE handles hub-node skew (the hot-domain case) via skew-join
-splitting, with explicit salting available in operators/skew.py.
+Scale notes: each PageRank round is one edge-scale shuffle — the
+per-source contribution (rank/outdeg) is joined at node scale first,
+then edges ⋈ per_src (shuffle on src) → groupBy(dst) sum (shuffle on
+dst). Pre-partitioning both edges and ranks by the join key — or
+bucketing the edge table (operators/bucketing.py) — removes the
+per-round re-shuffle of the edge side. Hub-host skew (the power-law
+mega-domain) is handled EXPLICITLY: ``pagerank(salt_hot=True)`` runs a
+heavy_hitters pass once and salts the hot sources through every round's
+join (operators/skew.py), which is how the driver's host_pagerank query
+runs it; AQE skew-join splitting remains as the second line of defense.
 """
 
 from __future__ import annotations
@@ -76,11 +80,25 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    salt_hot: bool = False,
+    hot_threshold: float = 0.01,
+    n_salt: int = 16,
 ) -> DataFrame:
     """→ (node, rank) after ``n_iter`` damped power iterations.
 
     ``edges``: directed (src, dst) pairs; parallel edges count as weight.
     rank_{t+1}(v) = (1-d)/N + d * (Σ_{u→v} rank_t(u)/outdeg(u) + dangling/N).
+
+    ``salt_hot=True`` runs one sampled :func:`~ferrobus_spark.operators.
+    skew.heavy_hitters` pass over the edge sources at setup and routes
+    every round's edges⋈(rank/outdeg) join through ``salted_join`` for
+    the hot keys — the explicit answer to the power-law hub problem (a
+    mega-host with 10⁷ out-edges is ONE join key; AQE can split its
+    post-shuffle partition but every round still funnels the key through
+    one shuffle write path). Results are exactly equal either way (the
+    salt only changes physical distribution), so the driver oracle
+    hashes are unaffected; the host_pagerank production query runs with
+    salting ON.
     """
     shared: list[str] = []  # dirs needed for the whole loop (edges/nodes/outdeg)
     rounds: list[str] = []  # superseded per-round rank dirs
@@ -98,31 +116,53 @@ def pagerank(
     n = nodes.count()
     outdeg = materialize(e.groupBy("src").agg(F.count("*").alias("outdeg")), shared)
 
+    hot: list = []
+    if salt_hot:
+        from ferrobus_spark.operators.skew import heavy_hitters
+
+        # one measured pass at setup; the hot-source set is a property of
+        # the (static) edge table, so it amortizes over all iterations
+        hot = heavy_hitters(e, "src", threshold=hot_threshold)
+
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(n_iter):
-        contribs = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
+        # rank/outdeg joins at NODE scale first, so each round pays one
+        # edge-scale shuffle (edges ⋈ per-src contribution), not two
+        per_src = (
+            ranks.withColumnRenamed("node", "src")
             .join(outdeg, "src")
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") / F.col("outdeg")).alias("contrib"),
-            )
+            .select("src", (F.col("rank") / F.col("outdeg")).alias("contrib"))
+        )
+        if hot:
+            from ferrobus_spark.operators.skew import salted_join
+
+            joined = salted_join(e, per_src, "src", hot, n_salt)
+        else:
+            joined = e.join(per_src, "src")
+        contribs = (
+            joined.select(F.col("dst").alias("node"), "contrib")
             .groupBy("node")
             .agg(F.sum("contrib").alias("in_mass"))
         )
-        # dangling nodes (no out-edges) leak their mass; redistribute
+        # dangling nodes (no out-edges) leak their mass; redistribute.
+        # The 1-row aggregate rides into the rank update as a broadcast
+        # cross join instead of a driver collect — one Spark job per
+        # iteration, not two. Float-op order is kept identical to the
+        # former python-side fold ((1-d)/n literal, then (d*dangling)/n)
+        # so the nano-fixed-point oracle stays bit-stable.
         dangling = (
             ranks.join(outdeg.withColumnRenamed("src", "node"), "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-            .collect()[0]["m"]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dmass"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         prev_rounds, rounds = rounds, []
         ranks = materialize(
-            nodes.join(contribs, "node", "left").select(
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
                 "node",
                 (
-                    F.lit(base)
+                    F.lit((1.0 - damping) / n)
+                    + (F.lit(damping) * F.col("dmass")) / F.lit(float(n))
                     + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
                 ).alias("rank"),
             ),

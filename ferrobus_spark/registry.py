@@ -208,6 +208,45 @@ def q_knn_nearest_stop(spark, sf_dir):
     )
 
 
+@register(
+    "knn_nearest_stop_kring",
+    f"""
+    SELECT doc_id, stop_id,
+           CAST(ROUND(dist_m * 1000000) AS BIGINT) AS dist_um
+    FROM (
+      SELECT d.doc_id, s.stop_id, {_KNN_DIST} AS dist_m,
+             ROW_NUMBER() OVER (
+               PARTITION BY d.doc_id ORDER BY {_KNN_DIST}, s.stop_id
+             ) AS rn
+      FROM {GEO_DOCS_SQL} d
+      CROSS JOIN (SELECT * FROM (VALUES {_STOPS_VALUES}) AS v(stop_id, slon, slat)) s
+    ) WHERE rn = 1
+    """,
+)
+def q_knn_nearest_stop_kring(spark, sf_dir):
+    """The SAME 1-NN answer through the 100×-scale plan: k-ring candidate
+    cells + equi-join (``spatial.knn_join``) instead of the broadcast
+    crossJoin+window baseline — no crossJoin anywhere, candidates are a
+    cell-key equi-join, so the shape survives a billion-point left side.
+    Hash-gated against the IDENTICAL brute-force oracle; coverage proof:
+    the farthest true 1-NN in the synthetic geo layout is 41.8 km
+    (≈0.48° lon at 37.8°N) and ring=2 at res=1 guarantees candidate
+    coverage past 2×inradius = 0.87°."""
+    from ferrobus_spark.operators.spatial import knn_join
+
+    docs = _docs_geo(spark, sf_dir)
+    stops = spark.createDataFrame(STOPS, "stop_id INT, slon DOUBLE, slat DOUBLE")
+    knn = knn_join(
+        docs, stops, k=1, res=1, ring=2,
+        point_id="doc_id", target_id="stop_id", tlon="slon", tlat="slat",
+    )
+    return knn.select(
+        "doc_id",
+        "stop_id",
+        F.round(F.col("dist_m") * F.lit(1e6)).cast("long").alias("dist_um"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # D: dedup + text analysis over documents (training-data pipeline ops)
 # ---------------------------------------------------------------------------

@@ -396,9 +396,13 @@ def q_host_pagerank(spark, sf_dir):
 
     pages = pages_table(spark, sf_dir)
     resolved = resolve_links(extract_links(pages), pages)
+    # salting ON: the production configuration — heavy-hitter hosts are
+    # salted through every round's edge join; results (and thus the
+    # hash) are exactly the unsalted ones
     ranks = pagerank(
         resolved.select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst")),
         n_iter=8,
+        salt_hot=True,
     )
     return ranks.select(
         "node",
@@ -423,6 +427,20 @@ def _minhash_oracle() -> str:
     that also passes the ≥0.5 agreement filter — not present in this
     deterministic corpus (the gate would surface it). ASCII/len≥5
     corpus assumptions as in the fingerprint oracle."""
+    ctes = _minhash_pairs_ctes("documents", min_agree=32)
+    return f"""
+    WITH {ctes}
+    SELECT id_a, id_b FROM mh_pairs
+    """
+
+
+def _minhash_pairs_ctes(source: str, min_agree: int) -> str:
+    """CTE chain (params/win/sigs/cand/mh_pairs) computing the
+    minhash→banded-LSH→agreement-filtered pairs of ``source`` (a table
+    or earlier CTE with doc_id, text). ``min_agree`` is the signature
+    agreement threshold (ceil(threshold * N_HASHES)). Embeddable in a
+    larger WITH chain (the curation oracle reuses it over the
+    exact-dedup survivors)."""
     from ferrobus_spark.operators.dedup import MERSENNE, N_HASHES, _minhash_params
 
     a, b = _minhash_params(N_HASHES)
@@ -434,13 +452,12 @@ def _minhash_oracle() -> str:
     for j in range(5):
         byte = f"unicode(substr(text, CAST(i + {j + 1} AS INT), 1))"
         h = f"(({h} * 1099511628211 + {byte}) % {m64}::HUGEINT)"
-    return f"""
-    WITH params(hidx, a, b) AS MATERIALIZED (VALUES {params}),
+    return f"""params(hidx, a, b) AS MATERIALIZED (VALUES {params}),
     win AS MATERIALIZED (
       -- DISTINCT is safe (a min over a multiset equals the min over its
       -- set) and cuts the 64-permutation cross product below
       SELECT DISTINCT doc_id, ({h}) % {MERSENNE}::HUGEINT AS x
-      FROM documents, unnest(range(0, length(text) - 4)) AS t(i)
+      FROM {source}, unnest(range(0, length(text) - 4)) AS t(i)
     ),
     sigs AS MATERIALIZED (
       -- the engine computes (a*x + b) in WRAPPING uint64 (numpy), so the
@@ -460,15 +477,16 @@ def _minhash_oracle() -> str:
         GROUP BY sa.doc_id, sb.doc_id, sa.hidx // {N_HASHES // 16}
         HAVING COUNT(*) = {N_HASHES // 16}
       )
-    )
-    SELECT c.id_a, c.id_b
-    FROM cand c
-    JOIN sigs sa ON sa.doc_id = c.id_a
-    JOIN sigs sb ON sb.doc_id = c.id_b AND sb.hidx = sa.hidx
-                AND sb.sig = sa.sig
-    GROUP BY c.id_a, c.id_b
-    HAVING COUNT(*) >= {N_HASHES // 2}
-    """
+    ),
+    mh_pairs AS MATERIALIZED (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.id_a
+      JOIN sigs sb ON sb.doc_id = c.id_b AND sb.hidx = sa.hidx
+                  AND sb.sig = sa.sig
+      GROUP BY c.id_a, c.id_b
+      HAVING COUNT(*) >= {min_agree}
+    )"""
 
 
 @register("minhash_dup_pairs", _minhash_oracle)
@@ -614,6 +632,124 @@ def q_dedup_planted(spark, sf_dir):
     cand = minhash_lsh_pairs(sigs, threshold=0.9, n_hashes=N_HASHES).select("id_a", "id_b")
     exact = ngram_jaccard_pairs(uni, cand)
     return exact.filter(F.col("jaccard") == 1.0).select("id_a", "id_b")
+
+
+def _curation_oracle() -> str:
+    """DuckDB twin of the END-TO-END curation pipeline at sf0.01: the
+    per-stage oracles (already individually driver-green) chained into
+    one WITH RECURSIVE query — canonical URL restatement, first-fetch
+    collapse (identity here: the synthetic canon_url embeds doc_id),
+    byte-identical extraction (= documents.text, the html_extract_text
+    invariant), token/quality/lang features, exact-hash dedup,
+    minhash→LSH pairs at agreement ≥ 58/64 (est_jaccard ≥ 0.9), duplicate
+    clusters via a recursive-CTE transitive closure with min-label
+    components, and the final quality/length gate."""
+    from ferrobus_spark.functions.text import LANG_MARKERS
+    from ferrobus_spark.sources.pages import domain_sql
+
+    langs = list(LANG_MARKERS)
+    scores = ", ".join(
+        " + ".join(f"len(regexp_extract_all(p, '{m}'))" for m in LANG_MARKERS[lang])
+        + f" AS {lang}"
+        for lang in langs
+    )
+    whens = []
+    for i, lang in enumerate(langs[:-1]):
+        rest = ", ".join(langs[i + 1 :])
+        cmp_ = f"GREATEST({rest})" if "," in rest else rest
+        whens.append(f"WHEN {lang} >= {cmp_} THEN '{lang}'")
+    lang_case = (
+        f"CASE WHEN GREATEST({', '.join(langs)}) = 0 THEN 'und' "
+        f"{' '.join(whens)} ELSE '{langs[-1]}' END"
+    )
+    quality = f"""
+           LEAST(CAST(CAST(length(text) AS BIGINT) AS DOUBLE) / {_dlit(200.0)}, {_dlit(1.0)}) * {_dlit(0.3)}
+         + LEAST(({_ALPHA} / {_NZ}) / {_dlit(0.7)}, {_dlit(1.0)}) * {_dlit(0.3)}
+         + LEAST(({_NSTOP} / {_NW}) / {_dlit(0.3)}, {_dlit(1.0)}) * {_dlit(0.3)}
+         + ({_dlit(1.0)} - LEAST(({_DIGIT} / {_NZ}) * {_dlit(4.0)}, {_dlit(1.0)})) * {_dlit(0.1)}
+    """
+    mh = _minhash_pairs_ctes("exact_kept", min_agree=58)
+    return f"""
+    WITH RECURSIVE cpages AS MATERIALIZED (
+      -- canonical + url_dedup: the synthetic url is already canonical
+      -- and embeds doc_id, so canonicalization is identity and the
+      -- first-fetch-per-canon-url collapse keeps every row; extraction
+      -- is the byte-identity invariant (html_extract_text gate)
+      SELECT doc_id,
+             'https://' || {domain_sql("doc_id")} || '/page/'
+               || CAST(doc_id AS STRING) AS canon_url,
+             text
+      FROM documents
+    ),
+    lp AS MATERIALIZED (
+      SELECT doc_id, ' ' || regexp_replace(lower(text), '\\s+', ' ', 'g') || ' ' AS p
+      FROM cpages
+    ),
+    lsc AS MATERIALIZED (SELECT doc_id, {scores} FROM lp),
+    lpred AS MATERIALIZED (SELECT doc_id, {lang_case} AS lang_pred FROM lsc),
+    feats AS MATERIALIZED (
+      SELECT doc_id, canon_url, text,
+             len(regexp_extract_all(text, '{BPE_RE}')) AS n_tokens,
+             {quality} AS quality,
+             lang_pred
+      FROM cpages JOIN lpred USING (doc_id)
+    ),
+    exact_kept AS MATERIALIZED (
+      SELECT f.* FROM feats f
+      JOIN (SELECT MIN(doc_id) AS doc_id FROM feats GROUP BY md5(text)) k
+      USING (doc_id)
+    ),
+    {mh},
+    edges AS MATERIALIZED (
+      SELECT id_a AS a, id_b AS b FROM mh_pairs
+      UNION
+      SELECT id_b, id_a FROM mh_pairs
+    ),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+    ),
+    comp AS MATERIALIZED (SELECT a AS node, MIN(b) AS mn FROM reach GROUP BY a),
+    kept AS MATERIALIZED (
+      SELECT f.* FROM exact_kept f
+      LEFT JOIN comp c ON c.node = f.doc_id
+      WHERE c.node IS NULL OR c.mn > f.doc_id
+    )
+    SELECT doc_id, canon_url, lang_pred,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           quality, md5(text) AS text_hash
+    FROM kept
+    WHERE quality >= {_dlit(0.3)} AND n_tokens >= 10
+    """
+
+
+@register("curation_curated", _curation_oracle)
+def q_curation_curated(spark, sf_dir):
+    """The flagship LLM-curation pipeline END-TO-END, driver-gated: the
+    same ``curation_stages`` closures the production job runs (WARC or
+    parquet input), chained lazily over the synthetic pages table
+    (checkpoint/resume machinery is exercised by
+    tests/test_curation_pipeline.py; the gate pins the dataflow's
+    values). Output = final curated rows with an md5 pin on the text
+    bytes."""
+    from ferrobus_spark.plans.curation import curation_stages
+    from ferrobus_spark.sources.pages import pages_table
+
+    def pages_fn(spark_, env):
+        return pages_table(spark_, sf_dir).select(
+            "doc_id", "url", "warc_ts", "html"
+        )
+
+    env = {}
+    for name, fn, _deps in curation_stages(
+        pages_fn, min_quality=0.3, min_tokens=10, near_dup_threshold=0.9
+    ):
+        env[name] = fn(spark, env)
+    return env["curated"].select(
+        "doc_id", "canon_url", "lang_pred", "n_tokens", "quality",
+        F.md5("text").alias("text_hash"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -99,3 +99,27 @@ def test_pagerank_matches_numpy(spark, resolved):
     assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
     for h in hosts:
         assert abs(got[h] - r[idx[h]]) < 1e-9, h
+
+
+def test_pagerank_salted_equals_plain(spark, resolved):
+    """salt_hot=True (the production host_pagerank configuration) is
+    value-identical to the plain plan — salting only changes physical
+    distribution. Skewed input: one hub host owns ~70% of the edges."""
+    edges = resolved.select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    hub = spark.range(400).select(
+        F.lit("megahub.example.com").alias("src"),
+        F.concat(F.lit("t"), (F.col("id") % 37).cast("string")).alias("dst"),
+    )
+    skewed = edges.unionByName(hub)
+    plain = {r.node: r.rank for r in pagerank(skewed, n_iter=6).collect()}
+    salted = {
+        r.node: r.rank
+        for r in pagerank(
+            skewed, n_iter=6, salt_hot=True, hot_threshold=0.05
+        ).collect()
+    }
+    assert plain.keys() == salted.keys()
+    for k in plain:
+        assert plain[k] == salted[k], k  # bit-identical, not approx
