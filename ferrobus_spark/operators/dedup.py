@@ -367,7 +367,15 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
 def ngram_jaccard_pairs(
     df: DataFrame, pairs: DataFrame, id_col="doc_id", text_col="text", shingle: int = 5
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs (the refine step)."""
+    """Exact shingle-set Jaccard for candidate pairs (the refine step).
+
+    Sub-``shingle``-byte texts are padded to one window by
+    :func:`_shingle_hashes`, so every doc has ≥1 shingle and two short
+    docs score 1.0 iff their raw bytes are equal — the same rule the
+    ``_SHINGLE_SET_SQL`` oracle states with a singleton ``[text]`` list.
+    The ``union == 0 → 1.0`` fallback below is therefore unreachable;
+    it exists only as a defensive division guard.
+    """
     texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     joined = (
         pairs.join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("t", "t_a"), "id_a")

@@ -151,7 +151,18 @@ def warc_pages_fn(warc_dir: str):
     xxhash64(url, warc_ts) — stable across runs and resumes; downstream
     "keep the MIN doc id" dedup rules then pick a deterministic (if
     arbitrary) keeper per cluster, which is the right contract for crawl
-    data with no natural ordering."""
+    data with no natural ordering.
+
+    Collision bound: a 64-bit id over n records collides with
+    probability ≈ n²/2⁶⁵ — negligible below ~10⁸ records but ~3% at
+    10⁹ and ~95% at 10¹⁰, and a collision silently fuses two distinct
+    docs into one dedup-graph node (one of them drops from the curated
+    output). The true record identity is (url, warc_ts), which this
+    stage carries through unchanged; at multi-billion-record scale,
+    switch the dedup key to that pair directly (or widen the id to
+    xxhash64(url) XOR-rotated with xxhash64(warc_ts) for ~128 effective
+    bits) — the pipeline's group-by/join shapes are unchanged, only the
+    key column widens."""
 
     def s_pages(spark, env):
         from ferrobus_spark.sources.warc import read_warc

@@ -556,11 +556,18 @@ def q_simhash_near_pairs(spark, sf_dir):
 
 _SHINGLE_SET_SQL = """
       SELECT doc_id,
-             list_sort(array_agg(DISTINCT substr(text, CAST(i + 1 AS INT), 5)))
-               AS s
-      FROM {src}, unnest(range(0, length(text) - 4)) AS t(i)
-      GROUP BY doc_id
+             CASE WHEN length(text) < 5 THEN [text]
+                  ELSE list_sort(array_agg(DISTINCT substr(text, CAST(i + 1 AS INT), 5)))
+             END AS s
+      FROM {src} LEFT JOIN unnest(range(0, length(text) - 4)) AS t(i) ON true
+      GROUP BY doc_id, text
 """
+# Sub-5-byte docs: the engine pads short texts to one 5-byte shingle
+# (dedup._shingle_hashes / _batch_shingle_hashes), so two short docs pair
+# iff their raw texts are EQUAL — [text] as the singleton shingle list
+# states exactly that (padding is injective: SQL strings carry no NULs).
+# The LEFT JOIN keeps the doc's group row where the plain lateral unnest
+# would silently drop it (empty range ⇒ no row ⇒ phantom oracle miss).
 
 
 @register(

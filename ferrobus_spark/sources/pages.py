@@ -74,18 +74,25 @@ def page_html_sql() -> str:
     )
 
 
+def warc_ts_col(id_col: str = "doc_id"):
+    """Deterministic fetch timestamp for a synthetic page — THE single
+    definition shared by the batch ``pages_table``, the streaming
+    ``read_pages_stream``, and their batch-equivalence test, so the
+    derivation cannot silently diverge between the three."""
+    h = (F.col(id_col) * 2654435761) % 4294967296
+    return F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(
+        secs=(h % 2592000).cast("double")
+    )
+
+
 def pages_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → pages(url, warc_ts, html, text, lang, lon, lat, domain)."""
     docs = load_documents(spark, sf_dir)
-    h = (F.col("doc_id") * 2654435761) % 4294967296
     domain = F.expr(domain_sql("doc_id"))
     lon, lat = lonlat_cols("doc_id")
     return docs.select(
         F.concat(F.lit("https://"), domain, F.lit("/page/"), F.col("doc_id")).alias("url"),
-        (
-            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
-            + F.make_interval(secs=(h % 2592000).cast("double"))
-        ).alias("warc_ts"),
+        warc_ts_col("doc_id").alias("warc_ts"),
         F.encode(
             F.concat(
                 F.lit("<html><head><title>Page "),

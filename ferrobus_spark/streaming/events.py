@@ -180,20 +180,17 @@ def read_pages_stream(spark: SparkSession, path_dir: str) -> DataFrame:
     batch pages table (sources/pages.py) — the streaming ingestion twin
     of the crawl feed."""
     from ferrobus_spark.functions.geo import lonlat_cols
+    from ferrobus_spark.sources.pages import warc_ts_col
 
     docs = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(path_dir)
     )
-    h = (F.col("doc_id") * 2654435761) % 4294967296
     lon, lat = lonlat_cols("doc_id")
     return docs.select(
         "doc_id",
-        (
-            F.to_timestamp(F.lit("2024-01-01 00:00:00"))
-            + F.make_interval(secs=(h % 2592000).cast("double"))
-        ).alias("warc_ts"),
+        warc_ts_col("doc_id").alias("warc_ts"),
         lon.alias("lon"),
         lat.alias("lat"),
     )

@@ -227,20 +227,14 @@ def test_streaming_tile_counts(spark, sf_dir, tmp_path):
     assert stream.isStreaming
     rows = run_available_now(streaming_tile_counts(stream), "tile_counts_t")
 
-    from ferrobus_spark.functions.geo import lonlat_cols
+    # expected side comes from the BATCH pages table, not a third copy of
+    # the derivation — a batch-side change now breaks this test instead
+    # of silently diverging from it
+    from ferrobus_spark.sources.pages import pages_table
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    h = (F.col("doc_id") * 2654435761) % 4294967296
-    lon, lat = lonlat_cols("doc_id")
     exp = (
-        docs.select(
-            (
-                F.to_timestamp(F.lit("2024-01-01 00:00:00"))
-                + F.make_interval(secs=(h % 2592000).cast("double"))
-            ).alias("warc_ts"),
-            lon.alias("lon"),
-            lat.alias("lat"),
-        )
+        pages_table(spark, sf_dir)
+        .select("warc_ts", "lon", "lat", "doc_id")
         .groupBy(F.window("warc_ts", "1 hour").alias("w"), F.expr(CELL_REF_SQL).alias("cell"))
         .agg(F.count("*").alias("n_pages"))
         .select(F.col("w.start").alias("window_start"), "cell", "n_pages")
