@@ -848,12 +848,53 @@ def q_knn_embeddings_lsh(spark, sf_dir):
     )
 
 
+def _ivf_centroids_twin(
+    vectors, n_lists: int, seed: int = 20240503, n_iter: int = 20
+):
+    """Independent restatement of the IVF coarse quantizer — seeded
+    spherical k-means (k-means++ init by squared-Euclidean D² sampling,
+    then Lloyd with cosine assignment and renormalized means), written
+    from the algorithm's published definition WITHOUT importing
+    ``operators/similarity`` — previously the oracle imported the
+    engine's own trainer, so a quantizer bug would have passed the full
+    oracle (only the planted-rank-1 gate backstopped it). Determinism
+    contract shared with the engine: numpy ``default_rng(seed)``,
+    ``integers`` for the first seed, ``choice(p=D²/ΣD²)`` for the rest,
+    20 Lloyd iterations, empty clusters keep their centroid, zero-norm
+    means keep the previous centroid."""
+    import numpy as np
+
+    X = np.asarray(vectors, np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    X = X / norms
+    rng = np.random.default_rng(seed)
+    n = len(X)
+    cents = [X[int(rng.integers(n))]]
+    d2 = np.full(n, np.inf)
+    for _ in range(1, n_lists):
+        d2 = np.minimum(d2, ((X - cents[-1]) ** 2).sum(axis=1))
+        s = d2.sum()
+        probs = d2 / s if s > 0 else np.full(n, 1.0 / n)
+        cents.append(X[int(rng.choice(n, p=probs))])
+    C = np.stack(cents)
+    for _ in range(n_iter):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_lists):
+            m = assign == j
+            if m.any():
+                v = X[m].mean(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    C[j] = v / norm
+    return C
+
+
 def _knn_ivf_oracle() -> str:
-    """DuckDB twin of ivf_topk: the coarse quantizer is recomputed
-    INDEPENDENTLY of the engine run — the shared deterministic
-    spherical-k-means trainer (a pure function of sample/seed, the
-    reason MLlib was replaced) is re-run here on the same deterministic
-    sample read straight from the parquet, and the centroids embedded as
+    """DuckDB twin of ivf_topk: the coarse quantizer is recomputed by
+    :func:`_ivf_centroids_twin` — an independent restatement that does
+    NOT import the engine's trainer — on the same deterministic sample
+    read straight from the parquet, and the centroids embedded as
     DOUBLE[] literals; list assignment (rank-1 centroid), query probing
     (top-8 centroids), the list_id candidate equi-join, and the cosine
     re-rank are then restated in SQL. Bound to the gate's sf directory
@@ -865,12 +906,10 @@ def _knn_ivf_oracle() -> str:
     import numpy as np
     import pyarrow.parquet as pq
 
-    from ferrobus_spark.operators.similarity import train_ivf_centroids
-
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     df = t.to_pandas().sort_values("vec_id").head(100_000)
-    cn = train_ivf_centroids(np.stack(df["embedding"].to_numpy()), n_lists=16)
+    cn = _ivf_centroids_twin(np.stack(df["embedding"].to_numpy()), n_lists=16)
     vals = ", ".join(
         "(" + str(j) + ", [" + ", ".join(repr(float(w)) for w in cn[j]) + "])"
         for j in range(len(cn))

@@ -243,3 +243,21 @@ def test_streaming_tile_counts(spark, sf_dir, tmp_path):
     got = {(r.window_start, r.cell): r.n_pages for r in rows}
     want = {(r.window_start, r.cell): r.n_pages for r in exp}
     assert got == want and len(got) > 10
+
+
+def test_ivf_twin_quantizer_bit_identical():
+    """The oracle's independent k-means restatement and the engine
+    trainer must produce bit-identical centroids under the shared
+    determinism contract — if either drifts, this fails before the
+    driver gate does."""
+    import numpy as np
+
+    from ferrobus_spark.operators.similarity import train_ivf_centroids
+    from ferrobus_spark.registry_ext import _ivf_centroids_twin
+
+    rng = np.random.default_rng(99)
+    X = rng.normal(size=(500, 32))
+    X[7] = 0.0  # zero-norm row exercises the norm guard
+    a = train_ivf_centroids(X, n_lists=8)
+    b = _ivf_centroids_twin(X, n_lists=8)
+    assert np.array_equal(a, b)
