@@ -339,8 +339,20 @@ def simhash_col(df: DataFrame, id_col="doc_id", text_col="text", shingle: int = 
     return spread_for_kernel(df.select(id_col, text_col)).mapInPandas(kernel, out_t)
 
 
-def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """(id_a, id_b, hamming ≤ max_hamming) via 4×16-bit chunk banding."""
+def simhash_near_pairs(
+    sim: DataFrame, max_hamming: int = 3, max_bucket_size: int | None = 256
+) -> DataFrame:
+    """(id_a, id_b, hamming ≤ max_hamming) via 4×16-bit chunk banding.
+
+    Same hot-bucket hazard and guard as :func:`minhash_lsh_pairs`: a
+    template corpus puts thousands of docs in one (chunk_idx, chunk)
+    bucket and the self-join emits k² candidates. Buckets over
+    ``max_bucket_size`` skip the join; members sub-group by their FULL
+    simhash and each identical-hash group emits a min-id star (hamming
+    0 by construction, always ≤ max_hamming ≥ 0) — connected components
+    are preserved, work stays O(k). Hot-bucket members with a unique
+    simhash drop from that chunk only (the other 3 chunks still catch
+    them)."""
     chunks = sim.select(
         "id",
         "simhash",
@@ -350,14 +362,39 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
             ])
         ).alias("chunk_idx", "chunk"),
     )
-    a = chunks.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), "chunk_idx", "chunk")
-    b = chunks.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), "chunk_idx", "chunk")
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("chunk_idx", "chunk")
+        chunks = chunks.withColumn("bsize", F.count(F.lit(1)).over(w))
+        cold = chunks.filter(F.col("bsize") <= max_bucket_size)
+        wg = Window.partitionBy("chunk_idx", "chunk", "simhash")
+        hot_star = (
+            chunks.filter(F.col("bsize") > max_bucket_size)
+            .withColumn("gmin", F.min("id").over(wg))
+            .filter(F.col("id") != F.col("gmin"))
+            .select(
+                F.col("gmin").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.col("simhash").alias("h_a"),
+                F.col("simhash").alias("h_b"),
+            )
+        )
+    else:
+        cold = chunks
+        hot_star = None
+    a = cold.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), "chunk_idx", "chunk")
+    b = cold.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), "chunk_idx", "chunk")
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return (
+    cand = (
         a.join(b, ["chunk_idx", "chunk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "h_a", "h_b")
-        .distinct()
+    )
+    if hot_star is not None:
+        cand = cand.unionByName(hot_star)
+    return (
+        cand.distinct()
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

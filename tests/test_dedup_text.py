@@ -242,3 +242,31 @@ def test_hot_bucket_guard_noop_below_cap(spark):
     key = lambda d: sorted(map(tuple, d[["id_a", "id_b"]].itertuples(index=False)))
     assert key(guarded) == key(exact)
     assert len(guarded) >= 10
+
+
+def test_simhash_hot_bucket_guard(spark):
+    """Same template-corpus hazard as MinHash-LSH: 2000 identical docs
+    must produce a bounded star, not a 2M-candidate cross-product, and
+    guarded == unguarded below the cap."""
+    rows = [(i, "identical boilerplate body text repeated " * 12)
+            for i in range(2000)]
+    rng = np.random.default_rng(5)
+    words = [f"w{i}" for i in range(200)]
+    for i in range(60):
+        rows.append((5000 + i, " ".join(rng.choice(words, 60))))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sim = simhash_col(df)
+    got = simhash_near_pairs(sim, max_hamming=3, max_bucket_size=256).toPandas()
+    tmpl = got[(got.id_a < 5000) & (got.id_b < 5000)]
+    assert len(tmpl) == 1999
+    assert set(tmpl.id_a) == {0}
+    assert (tmpl.hamming == 0).all()
+    assert len(got) < 1999 + 60 * 59 // 2
+
+    small = spark.createDataFrame(
+        pd.DataFrame(rows[2000:], columns=["doc_id", "text"])
+    )
+    s2 = simhash_col(small).localCheckpoint()
+    key = lambda d: sorted(map(tuple, d[["id_a", "id_b", "hamming"]].itertuples(index=False)))
+    assert key(simhash_near_pairs(s2, max_bucket_size=256).toPandas()) == \
+           key(simhash_near_pairs(s2, max_bucket_size=None).toPandas())
