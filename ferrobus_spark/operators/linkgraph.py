@@ -95,10 +95,11 @@ def pagerank(
     the hot keys — the explicit answer to the power-law hub problem (a
     mega-host with 10⁷ out-edges is ONE join key; AQE can split its
     post-shuffle partition but every round still funnels the key through
-    one shuffle write path). Results are exactly equal either way (the
-    salt only changes physical distribution), so the driver oracle
-    hashes are unaffected; the host_pagerank production query runs with
-    salting ON.
+    one shuffle write path). The salt changes only physical
+    distribution, so results are value-identical up to float partial-agg
+    summation ORDER (≤1 ulp per round — 9 orders below the nano
+    fixed-point driver gate, which stays green with salting ON as the
+    host_pagerank production configuration).
     """
     shared: list[str] = []  # dirs needed for the whole loop (edges/nodes/outdeg)
     rounds: list[str] = []  # superseded per-round rank dirs
