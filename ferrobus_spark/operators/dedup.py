@@ -154,6 +154,66 @@ def minhash_signatures(
     return spread_for_kernel(df.select(id_col, text_col)).mapInPandas(kernel, sig_t)
 
 
+#: driver-side cap on the collected hot-key set; above this the guard
+#: falls back to fully-distributed anti/semi joins (never materializing
+#: the keys on the driver)
+_MAX_HOT_KEYS_DRIVER = 100_000
+
+
+def _hot_bucket_split(
+    rows: DataFrame, keys: list, group_col: str, cap: int | None,
+    star_extra: list | None = None,
+):
+    """Shared hot-bucket guard: split ``rows`` into (cold, hot_star).
+
+    ``cold`` feeds the normal bucket self-join; ``hot_star`` is the
+    bounded fallback — min-id star edges per identical-``group_col``
+    group inside each over-cap bucket (id_a < id_b by construction), or
+    ``None`` when no bucket is hot.
+
+    Cost discipline: one eager groupBy-count probe (map-side partial agg
+    → a shuffle of DISTINCT bucket keys only). In the common case (no
+    hot buckets) the returned plan is EXACTLY the unguarded one — the
+    probe is the guard's whole overhead (~0.2 s at sf0.1, amortized to
+    nothing at scale). With ≤ 100k hot keys they ride back as a
+    broadcast literal table; an adversarial corpus beyond that falls
+    back to distributed anti/semi joins against the key aggregate.
+    """
+    if cap is None:
+        return rows, None
+    counts = (
+        rows.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("bsize"))
+        .filter(F.col("bsize") > cap)
+        .select(*keys)
+    )
+    probe = counts.limit(_MAX_HOT_KEYS_DRIVER + 1).collect()
+    if not probe:
+        return rows, None
+    if len(probe) <= _MAX_HOT_KEYS_DRIVER:
+        spark = rows.sparkSession
+        hot_keys = F.broadcast(
+            spark.createDataFrame(probe, counts.schema)
+        )
+    else:  # pathological: keep the key set distributed
+        hot_keys = counts
+    from pyspark.sql import Window
+
+    cold = rows.join(hot_keys, keys, "left_anti")
+    wg = Window.partitionBy(*keys, group_col)
+    hot_star = (
+        rows.join(hot_keys, keys, "semi")
+        .withColumn("gmin", F.min("id").over(wg))
+        .filter(F.col("id") != F.col("gmin"))
+        .select(
+            F.col("gmin").alias("id_a"),
+            F.col("id").alias("id_b"),
+            *[e.alias(n) for n, e in (star_extra or [])],
+        )
+    )
+    return cold, hot_star
+
+
 def minhash_lsh_pairs(
     sigs: DataFrame, n_bands: int = 16, threshold: float = 0.5,
     n_hashes: int | None = None, max_bucket_size: int | None = 256,
@@ -211,25 +271,9 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "bucket")
-        bands = bands.withColumn("bsize", F.count(F.lit(1)).over(w))
-        cold = bands.filter(F.col("bsize") <= max_bucket_size)
-        # hot buckets: star edges inside identical-full-signature groups.
-        # The window below reuses the (band, bucket) exchange already
-        # paid for the count — no extra shuffle for the sub-grouping.
-        wg = Window.partitionBy("band", "bucket", "sig_hash")
-        hot_star = (
-            bands.filter(F.col("bsize") > max_bucket_size)
-            .withColumn("gmin", F.min("id").over(wg))
-            .filter(F.col("id") != F.col("gmin"))
-            .select(F.col("gmin").alias("id_a"), F.col("id").alias("id_b"))
-        )
-    else:
-        cold = bands
-        hot_star = None
+    cold, hot_star = _hot_bucket_split(
+        bands, ["band", "bucket"], "sig_hash", max_bucket_size,
+    )
     a = cold.select(F.col("id").alias("id_a"), "band", "bucket")
     b = cold.select(F.col("id").alias("id_b"), "band", "bucket")
     cand = (
@@ -362,27 +406,10 @@ def simhash_near_pairs(
             ])
         ).alias("chunk_idx", "chunk"),
     )
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("chunk_idx", "chunk")
-        chunks = chunks.withColumn("bsize", F.count(F.lit(1)).over(w))
-        cold = chunks.filter(F.col("bsize") <= max_bucket_size)
-        wg = Window.partitionBy("chunk_idx", "chunk", "simhash")
-        hot_star = (
-            chunks.filter(F.col("bsize") > max_bucket_size)
-            .withColumn("gmin", F.min("id").over(wg))
-            .filter(F.col("id") != F.col("gmin"))
-            .select(
-                F.col("gmin").alias("id_a"),
-                F.col("id").alias("id_b"),
-                F.col("simhash").alias("h_a"),
-                F.col("simhash").alias("h_b"),
-            )
-        )
-    else:
-        cold = chunks
-        hot_star = None
+    cold, hot_star = _hot_bucket_split(
+        chunks, ["chunk_idx", "chunk"], "simhash", max_bucket_size,
+        star_extra=[("h_a", F.col("simhash")), ("h_b", F.col("simhash"))],
+    )
     a = cold.select(F.col("id").alias("id_a"), F.col("simhash").alias("h_a"), "chunk_idx", "chunk")
     b = cold.select(F.col("id").alias("id_b"), F.col("simhash").alias("h_b"), "chunk_idx", "chunk")
     ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
