@@ -641,6 +641,50 @@ def q_dedup_planted(spark, sf_dir):
     return exact.filter(F.col("jaccard") == 1.0).select("id_a", "id_b")
 
 
+@register(
+    "minhash_guard_planted_template",
+    """
+    SELECT CAST(0 AS BIGINT) AS id_a,
+           CAST(2000000 + i AS BIGINT) AS id_b
+    FROM unnest(range(0, 300)) AS t(i)
+    """,
+)
+def q_minhash_guard_planted_template(spark, sf_dir):
+    """Driver-gates the hot-bucket guard's STAR semantics (the round-5
+    scale fix): plant 300 byte-identical copies of doc 0 (ids 2000000+i)
+    so every band bucket holding them exceeds the 256 cap. The copies
+    share doc 0's full signature, so the guard's identical-signature
+    star must emit exactly (0, copy) for every copy — doc 0 is the group
+    min — and NOTHING else involving the planted ids: natural near-dups
+    of doc 0 meet the copies only inside those same hot buckets (any
+    bucket containing a copy's slice is a bucket of doc 0's slice) and
+    are dropped there, while still pairing with doc 0 itself through
+    their own cold buckets. The oracle is the closed form. Output is
+    filtered to planted-involving pairs so the natural corpus's pair set
+    (gated separately by minhash_dup_pairs) stays out of scope."""
+    from ferrobus_spark.operators.dedup import (
+        N_HASHES,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    src = docs.filter(F.col("doc_id") == 0)
+    planted = (
+        src.crossJoin(spark.range(300).select(F.col("id").alias("i")))
+        .select((F.lit(2000000) + F.col("i")).alias("doc_id"), "text")
+    )
+    uni = docs.unionByName(planted)
+    sigs = minhash_signatures(uni)
+    pairs = minhash_lsh_pairs(
+        sigs, threshold=0.5, n_hashes=N_HASHES, max_bucket_size=256
+    )
+    return (
+        pairs.filter((F.col("id_a") >= 2000000) | (F.col("id_b") >= 2000000))
+        .select("id_a", "id_b")
+    )
+
+
 def _curation_oracle() -> str:
     """DuckDB twin of the END-TO-END curation pipeline at sf0.01: the
     per-stage oracles (already individually driver-green) chained into
