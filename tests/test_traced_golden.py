@@ -158,3 +158,71 @@ def test_normalize_rejects_broken_chains():
             {"kind": "transit", "from_stop": 2, "to_stop": 3, "depart": 120,
              "arrive": 130, "route_idx": 1, "trip_pos": 0},
         ])
+
+
+def _micro_csr(edge_weight=None):
+    """2-node street graph (external ids 1, 2); optionally connected."""
+    from ferrobus_spark.routing.csr import CSRGraph
+
+    if edge_weight is None:
+        indptr = np.array([0, 0, 0], np.int64)
+        indices = np.array([], np.int32)
+        weights = np.array([], np.int64)
+    else:
+        indptr = np.array([0, 1, 2], np.int64)
+        indices = np.array([1, 0], np.int32)
+        weights = np.array([edge_weight, edge_weight], np.int64)
+    return CSRGraph(
+        node_ids=np.array([1, 2], np.int64),
+        indptr=indptr, indices=indices, weights=weights,
+        lon=np.array([0.0, 1.0]), lat=np.array([0.0, 0.0]),
+    )
+
+
+def _micro_points(spark):
+    nodes = spark.createDataFrame(
+        [(0, 1, 0, 1200), (1, 2, 0, 1200)],
+        "point_id long, node_id long, snap_secs long, max_walking_time long",
+    )
+    stops = spark.createDataFrame(
+        [(0, 0, 0, 1), (1, 1, 0, 1)],
+        "point_id long, stop_idx long, access_secs long, rank long",
+    )
+    return {"point_nodes": nodes, "point_stops": stops}
+
+
+def test_multimodal_prefers_direct_walking_when_faster(spark):
+    """itinerary/mod.rs:296-320 ported: a 20 s direct walk beats the
+    100 s transit ride (dep 100 → S0@100 → S1@200), so the journey is
+    walking-only with total 20 and arrival 120."""
+    from ferrobus_spark.routing.traced import detailed_journeys
+
+    tt = make_timetable(2, [([0, 1], [[(100, 100), (200, 200)]])], {})
+    csr = _micro_csr(edge_weight=20)
+    pts = _micro_points(spark)
+    od = spark.createDataFrame([(0, 0, 1)], "pair_id long, origin_id long, dest_id long")
+    legs = [tuple(r) for r in detailed_journeys(
+        spark, tt, csr, od, pts, pts, 100, 1
+    ).orderBy("leg_idx").collect()]
+    assert legs == [(0, 0, "walk", -1, -1, 100, 120, -1, -1)]  # arrival 120
+
+
+def test_multimodal_pruning_keeps_best_sorted_candidate(spark):
+    """itinerary/mod.rs:322-355 ported: no walkable path, rank-1
+    access/egress stops S0/S1 carry the ride dep 100 → arr 120 — total
+    travel time 20, arrival 120, access alights at S0 (stop 0), egress
+    boards from S1 (stop 1)."""
+    from ferrobus_spark.routing.traced import detailed_journeys
+
+    tt = make_timetable(2, [([0, 1], [[(100, 100), (120, 120)]])], {})
+    csr = _micro_csr(edge_weight=None)  # walking_paths empty in the ref test
+    pts = _micro_points(spark)
+    od = spark.createDataFrame([(0, 0, 1)], "pair_id long, origin_id long, dest_id long")
+    legs = [tuple(r) for r in detailed_journeys(
+        spark, tt, csr, od, pts, pts, 100, 1
+    ).orderBy("leg_idx").collect()]
+    assert legs == [
+        (0, 0, "walk", -1, 0, 100, 100, -1, -1),      # access → S0
+        (0, 1, "transit", 0, 1, 100, 120, 0, 0),      # ride, 20 s total
+        (0, 2, "walk", 1, -1, 120, 120, -1, -1),      # egress from S1
+    ]
