@@ -131,3 +131,47 @@ def test_node_to_stop_last_wins(spark_model, oracle_model):
         zip(*spark_model["node_to_stop"].toPandas()[["node_id", "stop_idx"]].T.values.tolist())
     )
     assert got == oracle_model.node_to_stop
+
+
+def test_colocated_pairwise_rust_scenario(spark):
+    """loading/transfers.rs:347-361 ported as data: stops snapped to
+    nodes [A, A, B, A, (unsnapped)] produce pairwise zero transfers
+    among exactly the three A-stops — the lone B stop and the unsnapped
+    stop get none."""
+    import numpy as np
+
+    from ferrobus_spark.model.transfers import build_transfers
+    from ferrobus_spark.routing.csr import CSRGraph
+
+    csr = CSRGraph(
+        node_ids=np.array([1, 2], np.int64),
+        indptr=np.array([0, 0, 0], np.int64),
+        indices=np.array([], np.int32),
+        weights=np.array([], np.int64),
+        lon=np.array([0.0, 1.0]),
+        lat=np.array([0.0, 0.0]),
+    )
+    stops_dim = spark.createDataFrame(
+        [(i, f"S{i}", 0.0, 0.0) for i in range(5)],
+        "stop_idx long, stop_id string, lon double, lat double",
+    )
+    # stop 4 has no snapped node (absent row); stop 2 alone on node 2
+    stop_nodes = spark.createDataFrame(
+        [(0, 1, 0), (1, 1, 0), (2, 2, 0), (3, 1, 0)],
+        "stop_idx long, node_id long, snap_secs long",
+    )
+    gtfs = spark.createDataFrame(
+        [],
+        "from_stop_id string, to_stop_id string, transfer_type int, "
+        "min_transfer_time long",
+    )
+    out = build_transfers(spark, stops_dim, stop_nodes, csr, gtfs, 600)
+    got = sorted(
+        (int(r.from_stop), int(r.to_stop), int(r.duration))
+        for r in out["transfers"].collect()
+    )
+    assert got == [
+        (0, 1, 0), (0, 3, 0),
+        (1, 0, 0), (1, 3, 0),
+        (3, 0, 0), (3, 1, 0),
+    ]
