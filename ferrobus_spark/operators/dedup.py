@@ -300,6 +300,123 @@ def minhash_lsh_pairs(
     )
 
 
+def incremental_minhash_pairs(
+    new_sigs: DataFrame, old_sigs: DataFrame, n_bands: int = 16,
+    threshold: float = 0.5, n_hashes: int = N_HASHES,
+    max_bucket_size: int | None = 256,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against (old ∪ new) — crawl-N dedup.
+
+    The production shape at 100 TB: crawl N's docs must be deduped
+    against the already-curated corpus AND each other, but re-pairing
+    the old corpus against itself (what running :func:`minhash_lsh_pairs`
+    on the union would do) is O(corpus²) wasted work that grows with
+    every crawl. Here only the NEW side's bands drive the probe join —
+    band-exploded new rows equi-join the band table of old ∪ new, so
+    old×old pairs can never form and each crawl costs
+    O(new × collisions), independent of corpus age. ``old_sigs`` is
+    typically a saved signatures table (parquet/Iceberg) appended after
+    each crawl, so signatures are computed once per document ever.
+
+    Returns (id_a, id_b, est_jaccard ≥ threshold) where id_a < id_b and
+    at least one side is new. Requires globally unique ids across old
+    and new (the curation pipeline's xxhash64 ids satisfy this). The
+    same hot-bucket guard as :func:`minhash_lsh_pairs` applies, with
+    bucket sizes measured on the union side (a template bucket is hot no
+    matter which crawl its members arrived in); star edges are emitted
+    only for groups containing a new doc — a group min that is an OLD
+    doc correctly becomes the keeper.
+    """
+    new_sigs = new_sigs.localCheckpoint()
+    old_sigs = old_sigs.localCheckpoint()
+    rows_per_band = n_hashes // n_bands
+
+    def explode(sigs):
+        return sigs.select(
+            "id",
+            F.hash("signature").alias("sig_hash"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                    lambda b: F.hash(
+                        F.slice("signature", b * rows_per_band + 1, rows_per_band)
+                    ),
+                )
+            ).alias("band", "bucket"),
+        )
+
+    bands_new = explode(new_sigs)
+    bands_all = explode(old_sigs).withColumn("is_new", F.lit(False)).unionByName(
+        bands_new.withColumn("is_new", F.lit(True))
+    )
+    if max_bucket_size is not None:
+        counts = (
+            bands_all.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("bsize"))
+            .filter(F.col("bsize") > max_bucket_size)
+            .select("band", "bucket")
+        )
+        probe = counts.limit(_MAX_HOT_KEYS_DRIVER + 1).collect()
+        if probe:
+            if len(probe) <= _MAX_HOT_KEYS_DRIVER:
+                hot_keys = F.broadcast(
+                    new_sigs.sparkSession.createDataFrame(probe, counts.schema)
+                )
+            else:
+                hot_keys = counts
+            from pyspark.sql import Window
+
+            cold_all = bands_all.join(hot_keys, ["band", "bucket"], "left_anti")
+            cold_new = bands_new.join(hot_keys, ["band", "bucket"], "left_anti")
+            wg = Window.partitionBy("band", "bucket", "sig_hash")
+            # star edge (gmin, member) is in-contract only when member
+            # or group-min is new — old×old edges must not leak out of
+            # hot groups that happen to contain one new arrival
+            hot_star = (
+                bands_all.join(hot_keys, ["band", "bucket"], "semi")
+                .withColumn("gm", F.min(F.struct("id", "is_new")).over(wg))
+                .filter(
+                    (F.col("id") != F.col("gm.id"))
+                    & (F.col("is_new") | F.col("gm.is_new"))
+                )
+                .select(F.col("gm.id").alias("id_a"), F.col("id").alias("id_b"))
+            )
+        else:
+            cold_all, cold_new, hot_star = bands_all, bands_new, None
+    else:
+        cold_all, cold_new, hot_star = bands_all, bands_new, None
+
+    a = cold_new.select(F.col("id").alias("id_n"), "band", "bucket")
+    b = cold_all.select(F.col("id").alias("id_o"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_n") != F.col("id_o"))
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+        )
+    )
+    if hot_star is not None:
+        cand = cand.unionByName(hot_star)
+    cand = cand.distinct()
+
+    sigs = old_sigs.unionByName(new_sigs)
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("sig_b"))
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", agree / F.lit(float(n_hashes)))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
 def lsh_hot_bucket_stats(
     sigs: DataFrame, n_bands: int = 16, n_hashes: int = N_HASHES,
     max_bucket_size: int = 256,

@@ -685,6 +685,51 @@ def q_minhash_guard_planted_template(spark, sf_dir):
     )
 
 
+def _incremental_dedup_oracle() -> str:
+    """Twin of the crawl-N incremental path: the SAME minhash CTE chain
+    over old ∪ new, restricted to pairs touching a new doc (copies carry
+    the highest ids, so with id_a < id_b the restriction is
+    id_b ≥ 3000000) — the incremental operator must land exactly on the
+    full-union answer it avoids recomputing."""
+    ctes = _minhash_pairs_ctes("uni", min_agree=58)
+    return f"""
+    WITH uni AS MATERIALIZED (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id, text
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    {ctes}
+    SELECT id_a, id_b FROM mh_pairs WHERE id_b >= 3000000
+    """
+
+
+@register("incremental_dedup_planted", _incremental_dedup_oracle)
+def q_incremental_dedup_planted(spark, sf_dir):
+    """Crawl-N incremental near-dedup, driver-gated: the old corpus is
+    the documents table (signatures computed once, as a saved table
+    would be), the new batch is an id-shifted copy of every 20th doc,
+    and incremental_minhash_pairs — which never forms old×old
+    candidates — must reproduce exactly the full-union LSH pair set
+    restricted to new-touching pairs (the DuckDB twin computes the full
+    union and restricts)."""
+    from ferrobus_spark.operators.dedup import (
+        N_HASHES,
+        incremental_minhash_pairs,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 20 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 3000000
+    )
+    pairs = incremental_minhash_pairs(
+        minhash_signatures(new), minhash_signatures(docs),
+        threshold=0.9, n_hashes=N_HASHES,
+    )
+    return pairs.select("id_a", "id_b")
+
+
 def _curation_oracle() -> str:
     """DuckDB twin of the END-TO-END curation pipeline at sf0.01: the
     per-stage oracles (already individually driver-green) chained into

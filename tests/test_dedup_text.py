@@ -270,3 +270,67 @@ def test_simhash_hot_bucket_guard(spark):
     key = lambda d: sorted(map(tuple, d[["id_a", "id_b", "hamming"]].itertuples(index=False)))
     assert key(simhash_near_pairs(s2, max_bucket_size=256).toPandas()) == \
            key(simhash_near_pairs(s2, max_bucket_size=None).toPandas())
+
+
+def test_incremental_minhash_equals_full_restricted(spark):
+    """Crawl-N dedup: incremental pairs (new vs old ∪ new) must equal the
+    full-union pair set restricted to pairs touching a new doc — without
+    ever forming old×old candidates."""
+    from ferrobus_spark.operators.dedup import incremental_minhash_pairs
+
+    rng = np.random.default_rng(42)
+    words = [f"tok{i}" for i in range(400)]
+    old_rows = [(i, " ".join(rng.choice(words, 80))) for i in range(90)]
+    new_rows = []
+    for j in range(10):  # cross-batch re-crawls (near-identical)
+        new_rows.append((1000 + j, old_rows[j][1] + " tail"))
+    for j in range(5):  # intra-batch dup pairs
+        t = " ".join(rng.choice(words, 80))
+        new_rows.append((1100 + 2 * j, t))
+        new_rows.append((1101 + 2 * j, t))
+    for j in range(15):  # fresh uniques
+        new_rows.append((1200 + j, " ".join(rng.choice(words, 80)) + f" u{j}"))
+    old = spark.createDataFrame(pd.DataFrame(old_rows, columns=["doc_id", "text"]))
+    new = spark.createDataFrame(pd.DataFrame(new_rows, columns=["doc_id", "text"]))
+
+    old_sigs = minhash_signatures(old)
+    new_sigs = minhash_signatures(new)
+    inc = incremental_minhash_pairs(new_sigs, old_sigs, threshold=0.5).toPandas()
+
+    full = minhash_lsh_pairs(
+        minhash_signatures(old.unionByName(new)), threshold=0.5, n_hashes=64
+    ).toPandas()
+    new_ids = {r[0] for r in new_rows}
+    want = {
+        (r.id_a, r.id_b, round(r.est_jaccard, 9))
+        for r in full.itertuples(index=False)
+        if r.id_a in new_ids or r.id_b in new_ids
+    }
+    got = {(r.id_a, r.id_b, round(r.est_jaccard, 9)) for r in inc.itertuples(index=False)}
+    assert got == want
+    assert len(got) >= 15  # all planted cross- and intra-batch dups present
+    # no old-only pair leaked
+    assert all(a in new_ids or b in new_ids for a, b, _ in got)
+
+
+def test_incremental_minhash_hot_bucket_star(spark):
+    """A template hot bucket spanning batches: 400 old + 50 new identical
+    docs. The star must attach every NEW copy to the OLD group minimum
+    (the keeper) and emit no old×old edges."""
+    from ferrobus_spark.operators.dedup import incremental_minhash_pairs
+
+    tmpl = "hot template body words " * 20
+    old = spark.createDataFrame(
+        pd.DataFrame([(i, tmpl) for i in range(400)], columns=["doc_id", "text"])
+    )
+    new = spark.createDataFrame(
+        pd.DataFrame([(9000 + i, tmpl) for i in range(50)], columns=["doc_id", "text"])
+    )
+    got = incremental_minhash_pairs(
+        minhash_signatures(new), minhash_signatures(old),
+        threshold=0.5, max_bucket_size=256,
+    ).toPandas()
+    assert sorted(map(tuple, got[["id_a", "id_b"]].itertuples(index=False))) == [
+        (0, 9000 + i) for i in range(50)
+    ]
+    assert (got.est_jaccard == 1.0).all()
