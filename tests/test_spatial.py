@@ -121,3 +121,28 @@ def test_knn_join_matches_bruteforce(spark, pages):
     assert len(sub) > 100
     assert (sub["target_id_exp"] == sub["target_id_got"]).all()
     assert np.allclose(sub["dist_m_exp"], sub["dist_m_got"])
+
+
+def test_knn_join_plan_has_no_cartesian(spark, pages):
+    """The k-ring kNN scale claim, pinned at plan level: candidates come
+    from a cell-key equi-join — no CartesianProduct and no
+    BroadcastNestedLoopJoin anywhere in the physical plan, so the shape
+    survives a billion-point left side (the driver-gated
+    knn_nearest_stop_kring query runs this exact operator)."""
+    tid = np.arange(8)
+    targets = spark.createDataFrame(
+        pd.DataFrame({
+            "target_id": tid,
+            "lon": -122.5 + tid * 0.01,
+            "lat": 37.7 + tid * 0.01,
+        })
+    )
+    pts = pages.select(F.col("doc_id").alias("point_id"), "lon", "lat")
+    plan = (
+        knn_join(pts, targets, k=1, res=1, ring=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the candidate join IS an equi-join on the exploded cell key
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
