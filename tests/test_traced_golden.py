@@ -226,3 +226,50 @@ def test_multimodal_pruning_keeps_best_sorted_candidate(spark):
         (0, 1, "transit", 0, 1, 100, 120, 0, 0),      # ride, 20 s total
         (0, 2, "walk", 1, -1, 120, 120, -1, -1),      # egress from S1
     ]
+
+
+def _reach_points(spark):
+    nodes = spark.createDataFrame(
+        [(0, 1, 0, 600), (1, 2, 0, 600)],
+        "point_id long, node_id long, snap_secs long, max_walking_time long",
+    )
+    stops = spark.createDataFrame(
+        [(0, 0, 0, 1), (1, 2, 0, 1)],  # start → hidden-route stop S0; end → S2
+        "point_id long, stop_idx long, access_secs long, rank long",
+    )
+    walk = spark.createDataFrame(  # unconnected graph: no walk targets
+        [], "point_id long, node_id long, walk_secs long"
+    )
+    return {"point_nodes": nodes, "point_stops": stops, "point_walk": walk}
+
+
+@pytest.mark.parametrize("product", ["route_pairs", "one_to_many"])
+def test_colocated_transfer_restores_reachability(spark, product):
+    """multimodal_routing.rs:372-410 ported: the point's access stop S0
+    serves no route; only the co-located zero-duration transfer S0→S1
+    makes the S1→S2 ride reachable. Without it the pair is unreachable;
+    with it travel_time is exactly 150 (dep 50 → arr 200)."""
+    from ferrobus_spark.routing import products
+
+    csr = _micro_csr(edge_weight=None)  # nodes unconnected: no direct walk
+    pts = _reach_points(spark)
+    od = [(0, 1)]
+
+    def run(transfers):
+        tt = make_timetable(
+            3, [([1, 2], [[(100, 100), (200, 200)]])], transfers
+        )
+        if product == "route_pairs":
+            rows = products.route_pairs(spark, tt, csr, pts, pts, od, 50, 1).collect()
+        else:
+            rows = [
+                r for r in products.one_to_many(spark, tt, csr, pts, pts, 50, 1).collect()
+                if r.origin_id == 0 and r.dest_id == 1
+            ]
+        return rows
+
+    without = run({})
+    assert all(r.travel_time is None for r in without)  # unreachable
+
+    with_ = run({0: [(1, 0)]})
+    assert len(with_) == 1 and with_[0].travel_time == 150
