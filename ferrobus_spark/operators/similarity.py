@@ -329,6 +329,54 @@ def ivf_topk(
     )
 
 
+def incremental_cosine_neardup_pairs(
+    spark: SparkSession,
+    new: DataFrame,
+    old: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    bits_per_table: int = 8,
+) -> DataFrame:
+    """Crawl-N embedding near-dup: NEW vectors vs (old ∪ new) corpus.
+
+    The embedding-side twin of
+    :func:`~ferrobus_spark.operators.dedup.incremental_minhash_pairs`:
+    only the new batch drives the LSH probe (``lsh_topk`` is already
+    query/corpus-asymmetric), so old×old pairs never form and each
+    crawl's cost is O(new × collisions) regardless of archive size.
+    Returns (id_a < id_b, cosine ≥ threshold) pairs touching ≥1 new
+    vector; requires globally unique ids across batches. Intra-new
+    pairs surface from both endpoints' probes — normalized and
+    deduped here.
+
+    Caveat (same k=50 rank window as :func:`cosine_neardup_pairs`): a
+    (new, old) pair is found iff the OLD vector ranks in the new
+    vector's top-50 bucket-mates — the full-union run would also accept
+    the old→new direction. Above-threshold near-dups ranked past 50
+    distinct closer neighbors are a crowding corner both variants
+    share; at 0.95+ thresholds real corpora don't crowd that hard.
+    """
+    corpus = old.unionByName(new)
+    res = lsh_topk(
+        spark, new, corpus, k=50, id_col=id_col, vec_col=vec_col,
+        n_tables=n_tables, bits_per_table=bits_per_table,
+    )
+    return (
+        res.filter(
+            (F.col("cosine") >= threshold)
+            & (F.col("query_id") != F.col("neighbor_id"))
+        )
+        .select(
+            F.least("query_id", "neighbor_id").alias("id_a"),
+            F.greatest("query_id", "neighbor_id").alias("id_b"),
+            "cosine",
+        )
+        .distinct()
+    )
+
+
 def cosine_neardup_pairs(
     spark: SparkSession,
     df: DataFrame,

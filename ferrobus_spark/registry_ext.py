@@ -1147,6 +1147,41 @@ def q_embedding_neardup_planted(spark, sf_dir):
     return cosine_neardup_pairs(spark, uni, threshold=0.95).select("id_a", "id_b")
 
 
+@register(
+    "embedding_incremental_planted",
+    """
+    WITH uni AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+      WHERE vec_id % 10 = 0
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM uni a JOIN uni b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+      AND b.vec_id >= 1000000
+    """,
+)
+def q_embedding_incremental_planted(spark, sf_dir):
+    """Crawl-N embedding near-dup, driver-gated: the archive is the
+    embeddings table, the new batch is an id-shifted copy of every 10th
+    vector, and incremental_cosine_neardup_pairs (new-driven LSH probe,
+    no old×old candidates) must land exactly on the brute-force ≥0.95
+    join restricted to new-touching pairs (copies carry the highest
+    ids, so the restriction is id_b ≥ 1000000)."""
+    from ferrobus_spark.operators.similarity import (
+        incremental_cosine_neardup_pairs,
+    )
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    new = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 1000000
+    )
+    return incremental_cosine_neardup_pairs(
+        spark, new, emb, threshold=0.95
+    ).select("id_a", "id_b")
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (stubbed codecs, real Spark contract)
 # ---------------------------------------------------------------------------

@@ -261,3 +261,30 @@ def test_ivf_twin_quantizer_bit_identical():
     a = train_ivf_centroids(X, n_lists=8)
     b = _ivf_centroids_twin(X, n_lists=8)
     assert np.array_equal(a, b)
+
+
+def test_incremental_cosine_neardup_equals_full_restricted(spark, embeddings):
+    """Crawl-N embedding near-dup ≡ the full-union pair set restricted to
+    new-touching pairs (planted identical copies guarantee ≥0.95 hits)."""
+    from ferrobus_spark.operators.similarity import (
+        cosine_neardup_pairs,
+        incremental_cosine_neardup_pairs,
+    )
+
+    old = embeddings.select("vec_id", "embedding")
+    new = old.filter(F.col("vec_id") % 7 == 0).withColumn(
+        "vec_id", F.col("vec_id") + 500000
+    )
+    inc = incremental_cosine_neardup_pairs(spark, new, old, threshold=0.95).toPandas()
+    full = cosine_neardup_pairs(
+        spark, old.unionByName(new), threshold=0.95
+    ).toPandas()
+    want = {
+        (r.id_a, r.id_b)
+        for r in full.itertuples(index=False)
+        if r.id_a >= 500000 or r.id_b >= 500000
+    }
+    got = {(r.id_a, r.id_b) for r in inc.itertuples(index=False)}
+    assert got == want
+    assert len(got) > 0
+    assert all(b >= 500000 for _a, b in got)  # no old-only pair leaked
