@@ -42,9 +42,24 @@ def curation_stages(
     min_quality: float = 0.3,
     min_tokens: int = 10,
     near_dup_threshold: float = 0.9,
+    archive_fn=None,
 ):
     """Stage list for ``run_pipeline``. ``pages_fn(spark, env)`` supplies
-    the raw pages DataFrame (parquet synth here; WARC scan in prod)."""
+    the raw pages DataFrame (parquet synth here; WARC scan in prod).
+
+    ``archive_fn(spark)`` (optional) switches the dedup stages to
+    CRAWL-N INCREMENTAL mode: it returns
+    ``{"text_hashes": DataFrame(text_hash), "signatures":
+    DataFrame(id, signature)}`` from the previously-curated archive
+    (saved parquet/Iceberg tables appended after each crawl). Exact
+    dedup then also anti-joins the archive's text hashes, and near
+    dedup runs :func:`~ferrobus_spark.operators.dedup.
+    incremental_minhash_pairs` — new docs duplicating ANYTHING archived
+    are dropped (the archive always wins: doc ids are hashes, not ages,
+    so the min-id rule cannot arbitrate old-vs-new), while new-only
+    duplicate clusters keep their min id as in batch mode. Emit the
+    batch's own hashes/signatures after the run to append to the
+    archive (``archive_outputs``)."""
 
     def s_canonical(spark, env):
         p = env["pages"]
@@ -107,21 +122,66 @@ def curation_stages(
             .agg(F.min("doc_id").alias("doc_id"))
             .select("doc_id")
         )
-        return t.join(keepers, "doc_id")
+        kept = t.join(keepers, "doc_id")
+        if archive_fn is not None:
+            # crawl-N: a byte-identical archived doc beats any new fetch
+            old_hashes = archive_fn(spark)["text_hashes"].select("text_hash")
+            kept = kept.withColumn("__h", F.md5("extracted_text")).join(
+                old_hashes.withColumnRenamed("text_hash", "__h"), "__h", "left_anti"
+            ).drop("__h")
+        return kept
 
     def s_near_dedup(spark, env):
         t = env["exact_dedup"]
         sigs = minhash_signatures(t, id_col="doc_id", text_col="extracted_text")
-        pairs = minhash_lsh_pairs(sigs, threshold=near_dup_threshold, n_hashes=N_HASHES).select(
-            "id_a", "id_b"
-        )
-        # duplicate clusters → keep the minimum doc of each component
-        # (connected_components labels with the component min already)
+        if archive_fn is None:
+            pairs = minhash_lsh_pairs(
+                sigs, threshold=near_dup_threshold, n_hashes=N_HASHES
+            ).select("id_a", "id_b")
+            # duplicate clusters → keep the minimum doc of each component
+            # (connected_components labels with the component min already)
+            cc = connected_components(pairs, src="id_a", dst="id_b")
+            drop = cc.filter(F.col("node") != F.col("component")).select(
+                F.col("node").alias("doc_id")
+            )
+            return t.join(drop, "doc_id", "left_anti")
+        from ferrobus_spark.operators.dedup import incremental_minhash_pairs
+
+        old_sigs = archive_fn(spark)["signatures"]
+        pairs = incremental_minhash_pairs(
+            sigs, old_sigs, threshold=near_dup_threshold, n_hashes=N_HASHES
+        ).select("id_a", "id_b")
         cc = connected_components(pairs, src="id_a", dst="id_b")
-        drop = cc.filter(F.col("node") != F.col("component")).select(
-            F.col("node").alias("doc_id")
+        new_ids = t.select(F.col("doc_id").alias("node"))
+        cc_new = cc.join(new_ids, "node", "semi")
+        # ids are hashes, not ages — the min-id label cannot arbitrate
+        # old vs new, so: any component touching the archive drops ALL
+        # its new members (the archived doc is the keeper); new-only
+        # components keep their min like batch mode
+        with_old = (
+            cc.join(new_ids, "node", "left_anti").select("component").distinct()
+        )
+        drop = (
+            cc_new.join(with_old, "component", "semi").select("node")
+            .unionByName(
+                cc_new.join(with_old, "component", "left_anti")
+                .filter(F.col("node") != F.col("component"))
+                .select("node")
+            )
+            .distinct()
+            .withColumnRenamed("node", "doc_id")
         )
         return t.join(drop, "doc_id", "left_anti")
+
+    def s_archive_outputs(spark, env):
+        # the batch's contribution to the archive: one row per curated
+        # doc with its text hash and signature, ready to append
+        k = env["curated"]
+        sigs = minhash_signatures(k, id_col="doc_id", text_col="text")
+        return (
+            k.select("doc_id", F.md5("text").alias("text_hash"))
+            .join(sigs.withColumnRenamed("id", "doc_id"), "doc_id")
+        )
 
     def s_curated(spark, env):
         k = env["near_dedup"]
@@ -132,7 +192,7 @@ def curation_stages(
             F.col("extracted_text").alias("text"),
         )
 
-    return [
+    stages = [
         ("pages", pages_fn, []),
         ("canonical", s_canonical, ["pages"]),
         ("url_dedup", s_url_dedup, ["canonical"]),
@@ -142,6 +202,9 @@ def curation_stages(
         ("near_dedup", s_near_dedup, ["exact_dedup"]),
         ("curated", s_curated, ["near_dedup"]),
     ]
+    if archive_fn is not None:
+        stages.append(("archive_outputs", s_archive_outputs, ["curated"]))
+    return stages
 
 
 def warc_pages_fn(warc_dir: str):

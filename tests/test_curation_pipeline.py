@@ -166,3 +166,98 @@ def test_checkpoint_resume_skips_stages(spark, curated_env):
     # all stages complete → the rerun only re-opens parquet (no recompute)
     assert resume_wall < max(first_wall * 0.35, 10.0)
     assert env2["curated"].count() == env["curated"].count()
+
+
+def test_incremental_crawl_mode(spark, sf_dir, curated_env, tmp_path_factory):
+    """Crawl-2 against crawl-1's archive: byte-identical re-fetches drop
+    at exact dedup, near-dups of archived docs drop at near dedup (the
+    ARCHIVE wins even when the new hash id is smaller), fresh docs and
+    new-only dup-cluster minima survive, and archive_outputs emits the
+    appendable (doc_id, text_hash, signature) rows."""
+    from ferrobus_spark.operators.dedup import minhash_signatures
+    from ferrobus_spark.plans.curation import run_curation
+
+    _root, env1, _wall, _fn = curated_env
+    crawl1 = env1["curated"].localCheckpoint()
+
+    archive = {
+        "text_hashes": crawl1.select(F.md5("text").alias("text_hash")).localCheckpoint(),
+        "signatures": minhash_signatures(
+            crawl1, id_col="doc_id", text_col="text"
+        ).localCheckpoint(),
+    }
+
+    # crawl 2: re-fetches of 40 archived docs under NEW urls (fresh hash
+    # ids — some smaller than the archived ids), near-dups of 20 more,
+    # 30 fresh docs, and one intra-batch duplicate pair
+    base = crawl1.limit(40).select(
+        (F.pmod(F.xxhash64(F.col("doc_id"), F.lit(1)), F.lit(1000000)) + 5000000).alias("doc_id"),
+        F.col("text"),
+    )
+    # long docs + a 2-char tweak so true shingle Jaccard stays ~0.99,
+    # comfortably above the 0.9 near-dup threshold
+    neardup = crawl1.filter(F.length("text") > 600).limit(20).select(
+        (F.pmod(F.xxhash64(F.col("doc_id"), F.lit(2)), F.lit(1000000)) + 6000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" z")).alias("text"),
+    )
+    fresh = spark.range(30).select(
+        (F.col("id") + 7000000).alias("doc_id"),
+        F.concat(
+            F.lit("entirely fresh crawl-two document number "),
+            F.col("id").cast("string"),
+            F.lit(" with plenty of genuinely novel words about topics "),
+            F.sha2(F.col("id").cast("string"), 256),
+        ).alias("text"),
+    )
+    intra = spark.createDataFrame(
+        [(8000000, "intra batch duplicate content " * 10),
+         (8000001, "intra batch duplicate content " * 10)],
+        "doc_id long, text string",
+    )
+    crawl2_docs = base.unionByName(neardup).unionByName(fresh).unionByName(intra)
+
+    def pages2(spark_, env):
+        return crawl2_docs.select(
+            "doc_id",
+            F.concat(F.lit("https://crawl2.example.org/p/"),
+                     F.col("doc_id").cast("string")).alias("url"),
+            F.to_timestamp(F.lit("2024-02-01 00:00:00")).alias("warc_ts"),
+            F.encode(
+                F.concat(
+                    F.lit("<html><head><title>Page "),
+                    F.col("doc_id").cast("string"),
+                    F.lit('</title></head><body><nav><a href="/page/1">next</a>'
+                          "</nav><p>"),
+                    F.replace(
+                        F.replace(
+                            F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+                            F.lit("<"), F.lit("&lt;"),
+                        ),
+                        F.lit(">"), F.lit("&gt;"),
+                    ),
+                    F.lit("</p></body></html>"),
+                ),
+                "UTF-8",
+            ).alias("html"),
+        )
+
+    root2 = str(tmp_path_factory.mktemp("curation_ckpt_crawl2"))
+    env2 = run_curation(
+        spark, root2, pages2, archive_fn=lambda s: archive
+    )
+
+    kept = {r.doc_id for r in env2["curated"].collect()}
+    # all byte-identical re-fetches dropped at exact dedup
+    assert env2["exact_dedup"].filter(
+        (F.col("doc_id") >= 5000000) & (F.col("doc_id") < 6000000)
+    ).count() == 0
+    # near-dups of archived docs dropped (archive wins regardless of id)
+    assert not any(6000000 <= d < 7000000 for d in kept)
+    # fresh docs survive the whole funnel
+    assert sum(7000000 <= d < 8000000 for d in kept) == 30
+    # intra-batch pair keeps its min
+    assert 8000000 in kept and 8000001 not in kept
+    # archive outputs are appendable rows for every curated doc
+    out = env2["archive_outputs"]
+    assert out.count() == len(kept)
+    assert set(out.columns) == {"doc_id", "text_hash", "signature"}
