@@ -33,6 +33,12 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", 8)))
     ap.add_argument("--min-quality", type=float, default=0.3)
     ap.add_argument("--min-tokens", type=int, default=10)
+    ap.add_argument("--archive-dir", default=None,
+                    help="crawl-N incremental mode: directory holding the "
+                         "archive's text_hashes/ and signatures/ parquet "
+                         "tables; dedup runs new-vs-archive only, and the "
+                         "batch's appendable archive rows are written to "
+                         "<archive-dir>/pending_append/")
     args = ap.parse_args()
 
     from ferrobus_spark.plans.checkpoint import pipeline_metrics
@@ -48,10 +54,24 @@ def main() -> None:
         def s_pages(spark_, env):
             return pages_table(spark_, args.sf_dir)
 
-    env = run_curation(
-        spark, args.checkpoint_root, s_pages,
-        min_quality=args.min_quality, min_tokens=args.min_tokens,
-    )
+    knobs = {"min_quality": args.min_quality, "min_tokens": args.min_tokens}
+    if args.archive_dir:
+        def archive_fn(spark_):
+            return {
+                "text_hashes": spark_.read.parquet(f"{args.archive_dir}/text_hashes"),
+                "signatures": spark_.read.parquet(f"{args.archive_dir}/signatures"),
+            }
+
+        knobs["archive_fn"] = archive_fn
+
+    env = run_curation(spark, args.checkpoint_root, s_pages, **knobs)
+    if args.archive_dir:
+        # appendable rows land NEXT TO the archive; a separate compaction
+        # step merges them in (append is not done in-place so a failed
+        # job can never half-append)
+        env["archive_outputs"].write.mode("overwrite").parquet(
+            f"{args.archive_dir}/pending_append"
+        )
     funnel = {name: env[name].count() for name in (
         "pages", "url_dedup", "exact_dedup", "near_dedup", "curated",
     )}
