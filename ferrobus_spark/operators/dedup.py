@@ -162,14 +162,25 @@ _MAX_HOT_KEYS_DRIVER = 100_000
 
 def _hot_bucket_split(
     rows: DataFrame, keys: list, group_col: str, cap: int | None,
-    star_extra: list | None = None,
+    star_extra: list | None = None, keeper_flag: str | None = None,
 ):
-    """Shared hot-bucket guard: split ``rows`` into (cold, hot_star).
+    """Shared hot-bucket guard: split ``rows`` into (cold, hot_star, hot_keys).
 
     ``cold`` feeds the normal bucket self-join; ``hot_star`` is the
     bounded fallback — min-id star edges per identical-``group_col``
     group inside each over-cap bucket (id_a < id_b by construction), or
-    ``None`` when no bucket is hot.
+    ``None`` when no bucket is hot. ``hot_keys`` (the over-cap bucket-key
+    table, ``None`` when no bucket is hot) is returned so asymmetric
+    callers (crawl-N incremental dedup) can anti-join their probe side
+    against the SAME key set — one guard authority, no drift.
+
+    ``keeper_flag``: optional boolean column name (e.g. ``is_new``).
+    When given, each group's keeper is still the min id (the struct min
+    orders by id first), but star edges are emitted only when the member
+    or the keeper carries the flag — the crawl-N rule that old×old edges
+    must not leak out of hot groups that happen to contain one new
+    arrival, while a group min that is an OLD doc correctly becomes the
+    keeper.
 
     Cost discipline: one eager groupBy-count probe (map-side partial agg
     → a shuffle of DISTINCT bucket keys only). In the common case (no
@@ -180,7 +191,7 @@ def _hot_bucket_split(
     back to distributed anti/semi joins against the key aggregate.
     """
     if cap is None:
-        return rows, None
+        return rows, None, None
     counts = (
         rows.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("bsize"))
@@ -189,7 +200,7 @@ def _hot_bucket_split(
     )
     probe = counts.limit(_MAX_HOT_KEYS_DRIVER + 1).collect()
     if not probe:
-        return rows, None
+        return rows, None, None
     if len(probe) <= _MAX_HOT_KEYS_DRIVER:
         spark = rows.sparkSession
         hot_keys = F.broadcast(
@@ -201,17 +212,24 @@ def _hot_bucket_split(
 
     cold = rows.join(hot_keys, keys, "left_anti")
     wg = Window.partitionBy(*keys, group_col)
-    hot_star = (
-        rows.join(hot_keys, keys, "semi")
-        .withColumn("gmin", F.min("id").over(wg))
-        .filter(F.col("id") != F.col("gmin"))
-        .select(
-            F.col("gmin").alias("id_a"),
-            F.col("id").alias("id_b"),
-            *[e.alias(n) for n, e in (star_extra or [])],
+    hot = rows.join(hot_keys, keys, "semi")
+    extras = [e.alias(n) for n, e in (star_extra or [])]
+    if keeper_flag is None:
+        hot_star = (
+            hot.withColumn("gmin", F.min("id").over(wg))
+            .filter(F.col("id") != F.col("gmin"))
+            .select(F.col("gmin").alias("id_a"), F.col("id").alias("id_b"), *extras)
         )
-    )
-    return cold, hot_star
+    else:
+        hot_star = (
+            hot.withColumn("gm", F.min(F.struct("id", keeper_flag)).over(wg))
+            .filter(
+                (F.col("id") != F.col("gm.id"))
+                & (F.col(keeper_flag) | F.col(f"gm.{keeper_flag}"))
+            )
+            .select(F.col("gm.id").alias("id_a"), F.col("id").alias("id_b"), *extras)
+        )
+    return cold, hot_star, hot_keys
 
 
 def minhash_lsh_pairs(
@@ -263,7 +281,13 @@ def minhash_lsh_pairs(
     rows_per_band = n_hashes // n_bands
     bands = sigs.select(
         "id",
-        F.hash("signature").alias("sig_hash"),
+        # xxhash64, not 32-bit Murmur3: sig_hash keys the identical-signature
+        # star groups inside hot buckets, and at multi-million-member
+        # template buckets 32-bit birthday collisions (~50% at ~77k distinct
+        # sigs) could merge different-signature docs into one group, whose
+        # min-id star edges then score est_jaccard < threshold and silently
+        # drop genuinely identical pairs.
+        F.xxhash64("signature").alias("sig_hash"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -271,7 +295,7 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    cold, hot_star = _hot_bucket_split(
+    cold, hot_star, _ = _hot_bucket_split(
         bands, ["band", "bucket"], "sig_hash", max_bucket_size,
     )
     a = cold.select(F.col("id").alias("id_a"), "band", "bucket")
@@ -334,7 +358,10 @@ def incremental_minhash_pairs(
     def explode(sigs):
         return sigs.select(
             "id",
-            F.hash("signature").alias("sig_hash"),
+            # xxhash64 for the same collision-safety reason as
+            # minhash_lsh_pairs (star groups must not merge across
+            # different signatures in multi-million-member buckets)
+            F.xxhash64("signature").alias("sig_hash"),
             F.posexplode(
                 F.transform(
                     F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -349,42 +376,16 @@ def incremental_minhash_pairs(
     bands_all = explode(old_sigs).withColumn("is_new", F.lit(False)).unionByName(
         bands_new.withColumn("is_new", F.lit(True))
     )
-    if max_bucket_size is not None:
-        counts = (
-            bands_all.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("bsize"))
-            .filter(F.col("bsize") > max_bucket_size)
-            .select("band", "bucket")
-        )
-        probe = counts.limit(_MAX_HOT_KEYS_DRIVER + 1).collect()
-        if probe:
-            if len(probe) <= _MAX_HOT_KEYS_DRIVER:
-                hot_keys = F.broadcast(
-                    new_sigs.sparkSession.createDataFrame(probe, counts.schema)
-                )
-            else:
-                hot_keys = counts
-            from pyspark.sql import Window
-
-            cold_all = bands_all.join(hot_keys, ["band", "bucket"], "left_anti")
-            cold_new = bands_new.join(hot_keys, ["band", "bucket"], "left_anti")
-            wg = Window.partitionBy("band", "bucket", "sig_hash")
-            # star edge (gmin, member) is in-contract only when member
-            # or group-min is new — old×old edges must not leak out of
-            # hot groups that happen to contain one new arrival
-            hot_star = (
-                bands_all.join(hot_keys, ["band", "bucket"], "semi")
-                .withColumn("gm", F.min(F.struct("id", "is_new")).over(wg))
-                .filter(
-                    (F.col("id") != F.col("gm.id"))
-                    & (F.col("is_new") | F.col("gm.is_new"))
-                )
-                .select(F.col("gm.id").alias("id_a"), F.col("id").alias("id_b"))
-            )
-        else:
-            cold_all, cold_new, hot_star = bands_all, bands_new, None
-    else:
-        cold_all, cold_new, hot_star = bands_all, bands_new, None
+    # one guard authority: bucket sizes measured on the union side, the
+    # crawl-N keeper rule expressed via keeper_flag (see _hot_bucket_split)
+    cold_all, hot_star, hot_keys = _hot_bucket_split(
+        bands_all, ["band", "bucket"], "sig_hash", max_bucket_size,
+        keeper_flag="is_new",
+    )
+    cold_new = (
+        bands_new if hot_keys is None
+        else bands_new.join(hot_keys, ["band", "bucket"], "left_anti")
+    )
 
     a = cold_new.select(F.col("id").alias("id_n"), "band", "bucket")
     b = cold_all.select(F.col("id").alias("id_o"), "band", "bucket")
@@ -433,7 +434,9 @@ def lsh_hot_bucket_stats(
     rows_per_band = n_hashes // n_bands
     bands = sigs.select(
         "id",
-        F.hash("signature").alias("sig_hash"),
+        # xxhash64: exact_groups must count full-signature groups, and a
+        # 32-bit hash undercounts once buckets reach ~77k distinct sigs
+        F.xxhash64("signature").alias("sig_hash"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -523,7 +526,7 @@ def simhash_near_pairs(
             ])
         ).alias("chunk_idx", "chunk"),
     )
-    cold, hot_star = _hot_bucket_split(
+    cold, hot_star, _ = _hot_bucket_split(
         chunks, ["chunk_idx", "chunk"], "simhash", max_bucket_size,
         star_extra=[("h_a", F.col("simhash")), ("h_b", F.col("simhash"))],
     )
@@ -551,11 +554,17 @@ def ngram_jaccard_pairs(
     """Exact shingle-set Jaccard for candidate pairs (the refine step).
 
     Sub-``shingle``-byte texts are padded to one window by
-    :func:`_shingle_hashes`, so every doc has ≥1 shingle and two short
-    docs score 1.0 iff their raw bytes are equal — the same rule the
-    ``_SHINGLE_SET_SQL`` oracle states with a singleton ``[text]`` list.
-    The ``union == 0 → 1.0`` fallback below is therefore unreachable;
-    it exists only as a defensive division guard.
+    :func:`_batch_shingle_hashes`, so every doc has ≥1 shingle and two
+    short docs score 1.0 iff their raw bytes are equal — the same rule
+    the ``_SHINGLE_SET_SQL`` oracle states with a singleton ``[text]``
+    list. The ``union == 0 → 1.0`` fallback below is therefore
+    unreachable; it exists only as a defensive division guard.
+
+    Batch-vectorized like :func:`simhash_col`: one flat rolling-hash
+    pass per Arrow batch over both sides' texts, per-pair DISTINCT
+    shingle counts via a single lexsort + first-occurrence mask, and
+    union sizes the same way over the concatenated (pair, hash) rows —
+    no per-pair Python loop body.
     """
     texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     joined = (
@@ -568,15 +577,45 @@ def ngram_jaccard_pairs(
         T.StructField("jaccard", T.DoubleType()),
     ])
 
+    def _uniq_per_doc(flat: np.ndarray, starts: np.ndarray, n: int):
+        """(unique hashes, owning-doc index) from the flat window array."""
+        nwin = np.diff(starts)
+        doc = np.repeat(np.arange(n), nwin)
+        order = np.lexsort((flat, doc))
+        sh, di = flat[order], doc[order]
+        first = np.ones(len(sh), bool)
+        first[1:] = (di[1:] != di[:-1]) | (sh[1:] != sh[:-1])
+        return sh[first], di[first]
+
     def kernel(batches):
         for pdf in batches:
-            rows = []
-            for ia, ib, ta, tb in zip(pdf["id_a"], pdf["id_b"], pdf["t_a"], pdf["t_b"]):
-                sa = _shingle_hashes(ta or "", shingle)
-                sb = _shingle_hashes(tb or "", shingle)
-                inter = len(np.intersect1d(sa, sb, assume_unique=True))
-                union = len(sa) + len(sb) - inter
-                rows.append((int(ia), int(ib), inter / union if union else 1.0))
-            yield pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame({
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "jaccard": pd.Series(dtype="float64"),
+                })
+                continue
+            fa, sa = _batch_shingle_hashes(list(pdf["t_a"]), shingle)
+            fb, sb = _batch_shingle_hashes(list(pdf["t_b"]), shingle)
+            ua, da = _uniq_per_doc(fa, sa, n)
+            ub, db = _uniq_per_doc(fb, sb, n)
+            na = np.bincount(da, minlength=n)
+            nb = np.bincount(db, minlength=n)
+            both = np.concatenate([ua, ub])
+            owner = np.concatenate([da, db])
+            order = np.lexsort((both, owner))
+            v, d = both[order], owner[order]
+            first = np.ones(len(v), bool)
+            first[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
+            union = np.bincount(d[first], minlength=n)
+            inter = na + nb - union
+            jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+            yield pd.DataFrame({
+                "id_a": pdf["id_a"].to_numpy(np.int64),
+                "id_b": pdf["id_b"].to_numpy(np.int64),
+                "jaccard": jac,
+            })
 
     return joined.select("id_a", "id_b", "t_a", "t_b").mapInPandas(kernel, out_t)

@@ -69,9 +69,17 @@ def isochrone_cells(
     )
 
 
-@F.udf(T.StringType())
-def _dissolve_udf(cells):
-    return hexgrid.cells_to_wkt(np.array(cells, np.int64))
+@F.pandas_udf(T.StringType())
+def _dissolve_udf(cells: pd.Series) -> pd.Series:
+    """Arrow-batched dissolve: one WKT MULTIPOLYGON per origin's cell set.
+
+    A pandas UDF (not a row-at-a-time ``@F.udf``) so bulk isochrones over
+    millions of origins cross Python once per Arrow batch instead of once
+    per row with pickle serialization; the per-origin geometry union stays
+    NumPy inside :func:`~ferrobus_spark.hexgrid.cells_to_wkt`."""
+    return pd.Series(
+        [hexgrid.cells_to_wkt(np.asarray(c, np.int64)) for c in cells]
+    )
 
 
 def isochrone_wkt(cells_df: DataFrame) -> DataFrame:

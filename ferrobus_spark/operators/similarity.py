@@ -165,9 +165,16 @@ def lsh_topk(
     n_tables: int = 8,
     bits_per_table: int = 8,
     exclude_self: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Approximate cosine top-k via random-hyperplane bucket join."""
-    dim = len(corpus.select(vec_col).first()[0])
+    """Approximate cosine top-k via random-hyperplane bucket join.
+
+    Pass ``dim`` (the embedding width) to avoid a driver ``first()``
+    probe job in this hot path; ``None`` falls back to probing for
+    ad-hoc use (same contract as ``n_hashes`` in
+    :func:`~ferrobus_spark.operators.dedup.minhash_lsh_pairs`)."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_tables * bits_per_table)
     qb = _sign_buckets(queries, planes, id_col, vec_col, n_tables, bits_per_table, spark)
     cb = _sign_buckets(corpus, planes, id_col, vec_col, n_tables, bits_per_table, spark)
@@ -338,6 +345,8 @@ def incremental_cosine_neardup_pairs(
     vec_col: str = "embedding",
     n_tables: int = 8,
     bits_per_table: int = 8,
+    k: int = 50,
+    dim: int | None = None,
 ) -> DataFrame:
     """Crawl-N embedding near-dup: NEW vectors vs (old ∪ new) corpus.
 
@@ -351,17 +360,22 @@ def incremental_cosine_neardup_pairs(
     pairs surface from both endpoints' probes — normalized and
     deduped here.
 
-    Caveat (same k=50 rank window as :func:`cosine_neardup_pairs`): a
-    (new, old) pair is found iff the OLD vector ranks in the new
-    vector's top-50 bucket-mates — the full-union run would also accept
-    the old→new direction. Above-threshold near-dups ranked past 50
-    distinct closer neighbors are a crowding corner both variants
-    share; at 0.95+ thresholds real corpora don't crowd that hard.
+    Caveat (the ``k`` rank window, default 50, shared with
+    :func:`cosine_neardup_pairs`): a (new, old) pair is found iff the
+    OLD vector ranks in the new vector's top-``k`` bucket-mates — the
+    full-union run would also accept the old→new direction.
+    Above-threshold near-dups ranked past ``k`` distinct closer
+    neighbors are a crowding corner both variants share; at 0.95+
+    thresholds real corpora don't crowd that hard, and unlike the
+    MinHash twin this asymmetry has no stats companion — widen ``k``
+    when a corpus is suspected of crowding (the signal: a query whose
+    ``k``-th neighbor still scores ≥ threshold, meaning the window may
+    have clipped real near-dups).
     """
     corpus = old.unionByName(new)
     res = lsh_topk(
-        spark, new, corpus, k=50, id_col=id_col, vec_col=vec_col,
-        n_tables=n_tables, bits_per_table=bits_per_table,
+        spark, new, corpus, k=k, id_col=id_col, vec_col=vec_col,
+        n_tables=n_tables, bits_per_table=bits_per_table, dim=dim,
     )
     return (
         res.filter(
@@ -385,11 +399,17 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     n_tables: int = 8,
     bits_per_table: int = 8,
+    k: int = 50,
+    dim: int | None = None,
 ) -> DataFrame:
-    """(id_a < id_b, cosine ≥ threshold) near-duplicate embedding pairs."""
+    """(id_a < id_b, cosine ≥ threshold) near-duplicate embedding pairs.
+
+    ``k`` is the per-query rank window passed to :func:`lsh_topk` —
+    widen it on corpora where >50 same-bucket neighbors can exceed the
+    threshold (see :func:`incremental_cosine_neardup_pairs` caveat)."""
     res = lsh_topk(
-        spark, df, df, k=50, id_col=id_col, vec_col=vec_col,
-        n_tables=n_tables, bits_per_table=bits_per_table,
+        spark, df, df, k=k, id_col=id_col, vec_col=vec_col,
+        n_tables=n_tables, bits_per_table=bits_per_table, dim=dim,
     )
     return (
         res.filter((F.col("cosine") >= threshold) & (F.col("query_id") < F.col("neighbor_id")))

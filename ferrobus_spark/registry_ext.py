@@ -658,8 +658,13 @@ def q_minhash_guard_planted_template(spark, sf_dir):
     min — and NOTHING else involving the planted ids: natural near-dups
     of doc 0 meet the copies only inside those same hot buckets (any
     bucket containing a copy's slice is a bucket of doc 0's slice) and
-    are dropped there, while still pairing with doc 0 itself through
-    their own cold buckets. The oracle is the closed form. Output is
+    are dropped there. Note the recall cost this planting illustrates:
+    doc 0's natural near-dup pairs are lost entirely — every bucket a
+    matching band slice lands in also holds doc 0's slice plus the 300
+    copies and is therefore hot, which is exactly the documented
+    every-band-hot drop case (such pairs have id < 2000000 and are out
+    of this query's scope, so the oracle stays exact).
+    The oracle is the closed form. Output is
     filtered to planted-involving pairs so the natural corpus's pair set
     (gated separately by minhash_dup_pairs) stays out of scope."""
     from ferrobus_spark.operators.dedup import (
