@@ -207,32 +207,144 @@ def curation_stages(
     return stages
 
 
-def warc_pages_fn(warc_dir: str):
+#: driver-side cap on the collected collision set (same discipline as the
+#: dedup hot-bucket guard); beyond it the fix-up joins stay distributed
+_MAX_COLLISION_IDS_DRIVER = 100_000
+
+
+def assign_doc_ids(
+    df: DataFrame,
+    key_cols: tuple[str, ...] = ("url", "warc_ts"),
+    reserved_ids: DataFrame | None = None,
+    max_rounds: int = 4,
+    _hash=None,
+) -> DataFrame:
+    """Collision-FREE deterministic int64 doc ids from the true record
+    identity ``key_cols`` (WARC records carry none of their own).
+
+    The naive ``xxhash64(url, warc_ts)`` id has a birthday bound of
+    ≈ n²/2⁶⁵ — negligible below ~10⁸ records but ~3% odds of ≥1
+    collision at 10⁹ and near-certain at 10¹⁰ — and a collision
+    silently fuses two distinct docs into one dedup-graph node (one of
+    them drops from the curated output). Instead of widening every
+    downstream shuffle key to 16 bytes or a string pair, this keeps the
+    8-byte id and makes collisions IMPOSSIBLE by construction:
+
+    1. primary id = ``xxhash64(*key_cols)``;
+    2. one narrow probe (groupBy id → countDistinct key) finds ids held
+       by more than one distinct key — an O(expected 0–3 rows) set even
+       at 10¹⁰ records, collected under a 100k driver cap with a
+       distributed-join fallback (the hot-bucket-guard discipline);
+    3. within each colliding id the minimum key keeps it; every other
+       key deterministically rehashes with a round salt; repeat until
+       clean (round 2+ only ever runs on the handful of rehashed rows'
+       ids, and a persisting collision past ``max_rounds`` raises
+       rather than fusing).
+
+    Ids are a pure function of the key multiset (plus ``reserved_ids``
+    when given) — stable across runs, resumes, and partitionings. Rows
+    that share the full key (true duplicate fetches) intentionally
+    share the id; ``url_dedup`` collapses them. ``reserved_ids`` (one
+    ``id`` column; crawl-N mode passes the archive's signature ids)
+    are treated as taken by out-of-frame docs: any new row hashing onto
+    one is rehashed, so ``incremental_minhash_pairs``' global-unique-id
+    precondition holds against the archive too — a true re-fetch of an
+    archived doc simply gets a fresh id and is dropped by the
+    archive-wins exact/near-dedup rules on content, never by id
+    accident. ``_hash(cols, salt)`` is a test seam for forcing
+    collisions (the real xxhash64 cannot be made to collide on demand).
+    """
+    h = _hash or (
+        lambda cols, salt: F.xxhash64(*cols, F.lit(salt)) if salt else F.xxhash64(*cols)
+    )
+    from pyspark.sql import Window
+
+    out = df.withColumn("doc_id", h(list(key_cols), 0))
+    res = (
+        None if reserved_ids is None
+        else reserved_ids.select(F.col(reserved_ids.columns[0]).alias("doc_id")).distinct()
+    )
+    for r in range(1, max_rounds + 1):
+        bad = (
+            out.groupBy("doc_id")
+            .agg(F.countDistinct(*key_cols).alias("__nk"))
+            .filter(F.col("__nk") > 1)
+            .select("doc_id")
+        )
+        if res is not None:
+            bad = bad.unionByName(out.select("doc_id").join(res, "doc_id", "semi")).distinct()
+        probe = bad.limit(_MAX_COLLISION_IDS_DRIVER + 1).collect()
+        if not probe:
+            return out
+        if len(probe) <= _MAX_COLLISION_IDS_DRIVER:
+            bad_keys = F.broadcast(out.sparkSession.createDataFrame(probe, bad.schema))
+        else:  # adversarial: keep the collision set distributed
+            bad_keys = bad
+        cold = out.join(bad_keys, "doc_id", "left_anti")
+        wg = Window.partitionBy("doc_id")
+        kstruct = F.struct(*[F.col(c) for c in key_cols])
+        hot = out.join(bad_keys, "doc_id", "semi").withColumn(
+            "__kmin", F.min(kstruct).over(wg)
+        )
+        if res is not None:
+            # a reserved id has NO in-frame keeper — every holder rehashes
+            hot = hot.join(
+                res.withColumn("__resv", F.lit(True)), "doc_id", "left"
+            )
+            keep_cond = (kstruct == F.col("__kmin")) & F.col("__resv").isNull()
+            hot = hot.withColumn(
+                "doc_id",
+                F.when(keep_cond, F.col("doc_id")).otherwise(h(list(key_cols), r)),
+            ).drop("__kmin", "__resv")
+        else:
+            hot = hot.withColumn(
+                "doc_id",
+                F.when(kstruct == F.col("__kmin"), F.col("doc_id"))
+                .otherwise(h(list(key_cols), r)),
+            ).drop("__kmin")
+        # bound recompute for the next probe: the fix path is rare and the
+        # frame is re-scanned next round, so pin it
+        out = cold.unionByName(hot.select(*cold.columns)).localCheckpoint()
+    leftover = (
+        out.groupBy("doc_id").agg(F.countDistinct(*key_cols).alias("__nk"))
+        .filter(F.col("__nk") > 1).count()
+    )
+    if leftover:
+        raise RuntimeError(
+            f"assign_doc_ids: {leftover} doc ids still collide after "
+            f"{max_rounds} rehash rounds — refusing to fuse distinct docs. "
+            "This is statistically impossible with real xxhash64; check the "
+            "_hash test seam or raise max_rounds."
+        )
+    return out
+
+
+def warc_pages_fn(warc_dir: str, archive_fn=None):
     """pages_fn reading a crawl's WARC files (the production input path:
     sources/warc.read_warc streams gzip members / Content-Length frames).
-    WARC records carry no doc id, so one is derived deterministically as
-    xxhash64(url, warc_ts) — stable across runs and resumes; downstream
-    "keep the MIN doc id" dedup rules then pick a deterministic (if
-    arbitrary) keeper per cluster, which is the right contract for crawl
-    data with no natural ordering.
+    WARC records carry no doc id, so :func:`assign_doc_ids` derives a
+    collision-free deterministic one from the true record identity
+    (url, warc_ts) — stable across runs and resumes, and two distinct
+    records can NEVER share an id (see its docstring for the
+    birthday-bound hazard this closes). Downstream "keep the MIN doc id"
+    dedup rules then pick a deterministic (if arbitrary) keeper per
+    cluster, which is the right contract for crawl data with no natural
+    ordering.
 
-    Collision bound: a 64-bit id over n records collides with
-    probability ≈ n²/2⁶⁵ — negligible below ~10⁸ records but ~3% at
-    10⁹ and ~95% at 10¹⁰, and a collision silently fuses two distinct
-    docs into one dedup-graph node (one of them drops from the curated
-    output). The true record identity is (url, warc_ts), which this
-    stage carries through unchanged; at multi-billion-record scale,
-    switch the dedup key to that pair directly (or widen the id to
-    xxhash64(url) XOR-rotated with xxhash64(warc_ts) for ~128 effective
-    bits) — the pipeline's group-by/join shapes are unchanged, only the
-    key column widens."""
+    ``archive_fn`` (the same callable passed to :func:`curation_stages`
+    in crawl-N mode) additionally reserves the archive's signature ids,
+    so a new doc can never collide with an archived one either —
+    ``incremental_minhash_pairs``' globally-unique-id precondition is
+    enforced here, not assumed."""
 
     def s_pages(spark, env):
         from ferrobus_spark.sources.warc import read_warc
 
-        return read_warc(spark, warc_dir).withColumn(
-            "doc_id", F.xxhash64("url", "warc_ts")
+        reserved = (
+            archive_fn(spark)["signatures"].select("id")
+            if archive_fn is not None else None
         )
+        return assign_doc_ids(read_warc(spark, warc_dir), reserved_ids=reserved)
 
     return s_pages
 

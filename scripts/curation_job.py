@@ -35,10 +35,14 @@ def main() -> None:
     ap.add_argument("--min-tokens", type=int, default=10)
     ap.add_argument("--archive-dir", default=None,
                     help="crawl-N incremental mode: directory holding the "
-                         "archive's text_hashes/ and signatures/ parquet "
-                         "tables; dedup runs new-vs-archive only, and the "
-                         "batch's appendable archive rows are written to "
-                         "<archive-dir>/pending_append/")
+                         "archive's text_hashes/ (text_hash) and signatures/ "
+                         "(id, signature) parquet tables; dedup runs "
+                         "new-vs-archive only, and the batch's appendable "
+                         "rows are written READY-SHAPED to "
+                         "<archive-dir>/pending_append/{text_hashes,"
+                         "signatures}/ — compaction is a plain file move "
+                         "into the matching archive table, no "
+                         "split/rename step")
     args = ap.parse_args()
 
     from ferrobus_spark.plans.checkpoint import pipeline_metrics
@@ -48,13 +52,8 @@ def main() -> None:
 
     spark = get_spark("ferrobus-curation", master=f"local[{args.cpus}]")
 
-    if args.warc_dir:
-        s_pages = warc_pages_fn(args.warc_dir)
-    else:
-        def s_pages(spark_, env):
-            return pages_table(spark_, args.sf_dir)
-
     knobs = {"min_quality": args.min_quality, "min_tokens": args.min_tokens}
+    archive_fn = None
     if args.archive_dir:
         def archive_fn(spark_):
             return {
@@ -64,14 +63,32 @@ def main() -> None:
 
         knobs["archive_fn"] = archive_fn
 
+    if args.warc_dir:
+        # archive_fn also reserves archived ids at assignment time, so a
+        # new doc id can never collide with an archived one
+        s_pages = warc_pages_fn(args.warc_dir, archive_fn=archive_fn)
+    else:
+        def s_pages(spark_, env):
+            return pages_table(spark_, args.sf_dir)
+
     env = run_curation(spark, args.checkpoint_root, s_pages, **knobs)
     if args.archive_dir:
-        # appendable rows land NEXT TO the archive; a separate compaction
-        # step merges them in (append is not done in-place so a failed
-        # job can never half-append)
-        env["archive_outputs"].write.mode("overwrite").parquet(
-            f"{args.archive_dir}/pending_append"
+        # appendable rows land NEXT TO the archive, already split into the
+        # two sub-tables archive_fn reads (text_hashes: text_hash;
+        # signatures: id, signature) so compaction is a plain directory
+        # append of matching schemas; a separate compaction step merges
+        # them in (append is not done in-place so a failed job can never
+        # half-append)
+        from pyspark.sql import functions as F
+
+        pend = f"{args.archive_dir}/pending_append"
+        out = env["archive_outputs"]
+        out.select("text_hash").write.mode("overwrite").parquet(
+            f"{pend}/text_hashes"
         )
+        out.select(F.col("doc_id").alias("id"), "signature").write.mode(
+            "overwrite"
+        ).parquet(f"{pend}/signatures")
     funnel = {name: env[name].count() for name in (
         "pages", "url_dedup", "exact_dedup", "near_dedup", "curated",
     )}

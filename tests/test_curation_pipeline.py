@@ -261,3 +261,98 @@ def test_incremental_crawl_mode(spark, sf_dir, curated_env, tmp_path_factory):
     out = env2["archive_outputs"]
     assert out.count() == len(kept)
     assert set(out.columns) == {"doc_id", "text_hash", "signature"}
+
+
+def _keyed_pages(spark, n=10):
+    rows = [
+        (f"https://site-{i}.example.org/page", f"2024-01-{i + 1:02d} 00:00:00")
+        for i in range(n)
+    ]
+    return (
+        spark.createDataFrame(rows, "url string, ts string")
+        .withColumn("warc_ts", F.to_timestamp("ts"))
+        .drop("ts")
+    )
+
+
+def test_assign_doc_ids_forced_collision(spark):
+    """The 10^9-record hazard, forced at toy scale: a hash seam that maps
+    all 10 distinct (url, warc_ts) keys into 3 primary ids. The assigner
+    must (a) give every distinct key its own id — a collision can never
+    fuse two docs, (b) keep the id for same-key duplicate fetch rows,
+    (c) keep the PRIMARY id on each colliding bucket's minimum key (ids
+    stay a pure function of the key multiset)."""
+    from ferrobus_spark.plans.curation import assign_doc_ids
+
+    df = _keyed_pages(spark, 10)
+    df = df.unionByName(df.limit(1))  # duplicate fetch of one key
+
+    def fake_hash(cols, salt):
+        if salt == 0:
+            return F.pmod(F.xxhash64(*cols), F.lit(3))
+        return F.xxhash64(*cols, F.lit(salt))
+
+    out = assign_doc_ids(df, _hash=fake_hash).localCheckpoint()
+    keys = out.select("url", "warc_ts", "doc_id").distinct().toPandas()
+    assert keys["doc_id"].nunique() == 10
+    assert (
+        out.groupBy("url", "warc_ts")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .filter("n > 1")
+        .count()
+        == 0
+    )
+    # min-key keeper: per primary bucket, the lexicographic-min key holds
+    # the primary id and everyone else was rehashed away from it
+    prim = (
+        df.select("url", "warc_ts")
+        .distinct()
+        .withColumn("prim", F.pmod(F.xxhash64("url", "warc_ts"), F.lit(3)))
+        .toPandas()
+        .sort_values(["url", "warc_ts"])
+    )
+    keepers = prim.groupby("prim").first().reset_index()  # min url per bucket
+    merged = keepers.merge(keys, on=["url", "warc_ts"])
+    assert (merged["doc_id"] == merged["prim"]).all()
+    # determinism: a rerun assigns identical ids
+    out2 = assign_doc_ids(df, _hash=fake_hash)
+    assert (
+        out.select("url", "warc_ts", "doc_id")
+        .exceptAll(out2.select("url", "warc_ts", "doc_id"))
+        .count()
+        == 0
+    )
+
+
+def test_assign_doc_ids_reserved_archive_ids(spark):
+    """Crawl-N precondition: a new doc hashing onto an ARCHIVED id must be
+    rehashed (incremental_minhash_pairs requires globally unique ids), and
+    non-colliding keys keep their plain xxhash64 ids."""
+    from ferrobus_spark.plans.curation import assign_doc_ids
+
+    df = _keyed_pages(spark, 6)
+    primary = df.withColumn("doc_id", F.xxhash64("url", "warc_ts"))
+    reserved = primary.select(F.col("doc_id").alias("id")).limit(2).localCheckpoint()
+    out = assign_doc_ids(df, reserved_ids=reserved).localCheckpoint()
+    assert (
+        out.join(reserved.withColumnRenamed("id", "doc_id"), "doc_id", "semi").count()
+        == 0
+    )
+    assert out.select("doc_id").distinct().count() == 6
+    # untouched keys keep the primary hash
+    assert (
+        out.join(primary.select("url", "warc_ts", "doc_id"), ["url", "warc_ts", "doc_id"], "semi").count()
+        == 4
+    )
+
+
+def test_assign_doc_ids_refuses_to_fuse(spark):
+    """A hash that can never separate two keys must raise, not silently
+    merge them into one dedup-graph node."""
+    import pytest as _pytest
+
+    from ferrobus_spark.plans.curation import assign_doc_ids
+
+    df = _keyed_pages(spark, 3)
+    with _pytest.raises(RuntimeError, match="refusing to fuse"):
+        assign_doc_ids(df, _hash=lambda cols, salt: F.lit(0).cast("long"), max_rounds=2)
