@@ -334,3 +334,57 @@ def test_incremental_minhash_hot_bucket_star(spark):
         (0, 9000 + i) for i in range(50)
     ]
     assert (got.est_jaccard == 1.0).all()
+
+
+def _plan_str(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _assert_equi_join_plan(plan: str):
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_minhash_lsh_pairs_plan_shape(spark):
+    """Physical-plan pin (mirrors knn_join's in test_spatial.py): the band
+    candidate join must stay an equi-join on (band, bucket) — a refactor
+    that degrades it to a cartesian/BNLJ would pass tiny-corpus value
+    tests while being a 100 TB scale-killer."""
+    from ferrobus_spark.operators.dedup import N_HASHES, minhash_lsh_pairs
+
+    sigs = spark.range(64).select(
+        F.col("id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(N_HASHES)),
+            lambda i: F.xxhash64(F.col("id") % 7, i),
+        ).alias("signature"),
+    )
+    plan = _plan_str(minhash_lsh_pairs(sigs, n_hashes=N_HASHES))
+    _assert_equi_join_plan(plan)
+
+
+def test_incremental_minhash_pairs_plan_shape(spark):
+    from ferrobus_spark.operators.dedup import N_HASHES, incremental_minhash_pairs
+
+    def sigs(lo, n, mod):
+        return spark.range(lo, lo + n).select(
+            F.col("id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(N_HASHES)),
+                lambda i: F.xxhash64(F.col("id") % mod, i),
+            ).alias("signature"),
+        )
+
+    plan = _plan_str(
+        incremental_minhash_pairs(sigs(1000, 32, 5), sigs(0, 64, 7), n_hashes=N_HASHES)
+    )
+    _assert_equi_join_plan(plan)
+
+
+def test_simhash_near_pairs_plan_shape(spark):
+    from ferrobus_spark.operators.dedup import simhash_near_pairs
+
+    sim = spark.range(64).select(F.col("id"), F.xxhash64(F.col("id") % 9).alias("simhash"))
+    plan = _plan_str(simhash_near_pairs(sim))
+    _assert_equi_join_plan(plan)

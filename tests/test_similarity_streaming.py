@@ -288,3 +288,30 @@ def test_incremental_cosine_neardup_equals_full_restricted(spark, embeddings):
     assert got == want
     assert len(got) > 0
     assert all(b >= 500000 for _a, b in got)  # no old-only pair leaked
+
+
+def _plan_str(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_lsh_topk_plan_shape(spark, embeddings):
+    """Pin the ANN bucket join as an equi-join on (table, bucket) — and,
+    with dim supplied, no driver probe job is needed to build the plan."""
+    from pyspark.sql import functions as F
+
+    dim = embeddings.select(F.size("embedding")).first()[0]
+    res = lsh_topk(spark, embeddings, embeddings, k=3, dim=dim)
+    plan = _plan_str(res)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_ivf_topk_plan_shape(spark, embeddings):
+    from ferrobus_spark.operators.similarity import ivf_topk
+
+    res = ivf_topk(spark, embeddings, embeddings, k=3, n_lists=8, n_probe=2)
+    plan = _plan_str(res)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
