@@ -937,7 +937,7 @@ def q_knn_embeddings_lsh(spark, sf_dir):
     from ferrobus_spark.operators.similarity import lsh_topk
 
     emb = _read(spark, sf_dir, "embeddings")
-    return lsh_topk(spark, emb, emb, k=3).select(
+    return lsh_topk(spark, emb, emb, k=3, dim=64).select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
     )
 
@@ -1079,7 +1079,7 @@ def q_knn_lsh_planted(spark, sf_dir):
         "vec_id", F.col("vec_id") + 1000000
     )
     corpus = emb.unionByName(planted)
-    return lsh_topk(spark, planted, corpus, k=1).select(
+    return lsh_topk(spark, planted, corpus, k=1, dim=64).select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
     )
 
@@ -1118,7 +1118,7 @@ def q_embedding_neardup(spark, sf_dir):
     from ferrobus_spark.operators.similarity import cosine_neardup_pairs
 
     emb = _read(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs(spark, emb, threshold=0.95).select("id_a", "id_b")
+    return cosine_neardup_pairs(spark, emb, threshold=0.95, dim=64).select("id_a", "id_b")
 
 
 @register(
@@ -1149,7 +1149,7 @@ def q_embedding_neardup_planted(spark, sf_dir):
         "vec_id", F.col("vec_id") + 1000000
     )
     uni = emb.unionByName(planted)
-    return cosine_neardup_pairs(spark, uni, threshold=0.95).select("id_a", "id_b")
+    return cosine_neardup_pairs(spark, uni, threshold=0.95, dim=64).select("id_a", "id_b")
 
 
 @register(
@@ -1183,7 +1183,7 @@ def q_embedding_incremental_planted(spark, sf_dir):
         "vec_id", F.col("vec_id") + 1000000
     )
     return incremental_cosine_neardup_pairs(
-        spark, new, emb, threshold=0.95
+        spark, new, emb, threshold=0.95, dim=64
     ).select("id_a", "id_b")
 
 
