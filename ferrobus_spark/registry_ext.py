@@ -1461,8 +1461,8 @@ def q_customers_without_big_orders(spark, sf_dir):
                                  ROWS UNBOUNDED PRECEDING) AS session_id
         FROM (
           SELECT user_id, ts, event_id,
-                 CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
-                           > 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                           > 1800000000 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                       THEN 1 ELSE 0 END AS is_new
           FROM events
         )
@@ -1471,7 +1471,14 @@ def q_customers_without_big_orders(spark, sf_dir):
     """,
 )
 def q_events_sessionize(spark, sf_dir):
-    """Sessionization (30-min gap) via lag + running sum windows."""
+    """Sessionization (30-min gap) via lag + running sum windows.
+
+    The gap test runs on integer microseconds (``unix_micros`` /
+    ``epoch_us``) on BOTH the Spark and oracle sides: timestamps carry
+    microsecond components at every SF, and a whole-second truncation
+    (``unix_timestamp``) diverges from a fractional epoch whenever a gap
+    lands inside (1800 s, 1801 s) — first observed at sf1.0.
+    """
     e = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
@@ -1483,7 +1490,13 @@ def q_events_sessionize(spark, sf_dir):
             "is_new",
             F.when(
                 F.col("prev_ts").isNull()
-                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800),
+                # ts is TIMESTAMP_NTZ in the parquet; session TZ is pinned
+                # UTC so the cast to TIMESTAMP is value-preserving.
+                | (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+                    > 1_800_000_000
+                ),
                 1,
             ).otherwise(0),
         )
