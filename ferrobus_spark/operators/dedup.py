@@ -554,17 +554,25 @@ def ngram_jaccard_pairs(
     """Exact shingle-set Jaccard for candidate pairs (the refine step).
 
     Sub-``shingle``-byte texts are padded to one window by
-    :func:`_batch_shingle_hashes`, so every doc has ≥1 shingle and two
+    :func:`_shingle_hashes`, so every doc has >=1 shingle and two
     short docs score 1.0 iff their raw bytes are equal — the same rule
     the ``_SHINGLE_SET_SQL`` oracle states with a singleton ``[text]``
-    list. The ``union == 0 → 1.0`` fallback below is therefore
+    list. The ``union == 0 -> 1.0`` fallback below is therefore
     unreachable; it exists only as a defensive division guard.
 
-    Batch-vectorized like :func:`simhash_col`: one flat rolling-hash
-    pass per Arrow batch over both sides' texts, per-pair DISTINCT
-    shingle counts via a single lexsort + first-occurrence mask, and
-    union sizes the same way over the concatenated (pair, hash) rows —
-    no per-pair Python loop body.
+    Kernel shape — measured, not assumed (scripts/ngram_refine_bench.py,
+    round 6): texts ride the pairs join and each pair's sides are
+    shingled in the Python worker, with a bounded per-batch memo keyed
+    on doc id so a doc fanning out into many candidate pairs (LSH hot
+    buckets) is shingled once per batch instead of once per pair.
+    Three "more vectorized" shapes all measured SLOWER: pair-major
+    lexsort union counting 7x (sorts |pairs|x|windows| rows), a
+    per-batch text factorize+cache 1.4x (string factorize overhead,
+    and partitioning strips cross-batch reuse at local[32]), and
+    precomputing distinct-shingle ARRAY columns in the doc domain 4x
+    at 1M pairs / 2KB docs — byte-shingle hash sets are ~6x LARGER
+    than the text they come from, so shuffling them twice costs far
+    more than re-hashing the compact text at the consumer.
     """
     texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     joined = (
@@ -576,42 +584,35 @@ def ngram_jaccard_pairs(
         T.StructField("id_b", T.LongType()),
         T.StructField("jaccard", T.DoubleType()),
     ])
-
-    def _uniq_per_doc(flat: np.ndarray, starts: np.ndarray, n: int):
-        """(unique hashes, owning-doc index) from the flat window array."""
-        nwin = np.diff(starts)
-        doc = np.repeat(np.arange(n), nwin)
-        order = np.lexsort((flat, doc))
-        sh, di = flat[order], doc[order]
-        first = np.ones(len(sh), bool)
-        first[1:] = (di[1:] != di[:-1]) | (sh[1:] != sh[:-1])
-        return sh[first], di[first]
+    # per-batch memo cap: bounds worker memory at ~100 MB worst case
+    # (8192 entries x ~12 KB hash array for a 2 KB doc) while catching
+    # the hot-template docs, which recur early and often within a batch.
+    memo_cap = 8192
 
     def kernel(batches):
         for pdf in batches:
             n = len(pdf)
-            if n == 0:
-                yield pd.DataFrame({
-                    "id_a": pd.Series(dtype="int64"),
-                    "id_b": pd.Series(dtype="int64"),
-                    "jaccard": pd.Series(dtype="float64"),
-                })
-                continue
-            fa, sa = _batch_shingle_hashes(list(pdf["t_a"]), shingle)
-            fb, sb = _batch_shingle_hashes(list(pdf["t_b"]), shingle)
-            ua, da = _uniq_per_doc(fa, sa, n)
-            ub, db = _uniq_per_doc(fb, sb, n)
-            na = np.bincount(da, minlength=n)
-            nb = np.bincount(db, minlength=n)
-            both = np.concatenate([ua, ub])
-            owner = np.concatenate([da, db])
-            order = np.lexsort((both, owner))
-            v, d = both[order], owner[order]
-            first = np.ones(len(v), bool)
-            first[1:] = (d[1:] != d[:-1]) | (v[1:] != v[:-1])
-            union = np.bincount(d[first], minlength=n)
-            inter = na + nb - union
-            jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+            memo: dict = {}
+
+            def sets_for(ids, ts):
+                out = []
+                for i, t in zip(ids, ts):
+                    s = memo.get(i)
+                    if s is None:
+                        s = _shingle_hashes(t, shingle)
+                        if len(memo) < memo_cap:
+                            memo[i] = s
+                    out.append(s)
+                return out
+
+            sa = sets_for(pdf["id_a"], pdf["t_a"])
+            sb = sets_for(pdf["id_b"], pdf["t_b"])
+            jac = np.empty(n)
+            for i in range(n):
+                A, B = sa[i], sb[i]
+                it = len(np.intersect1d(A, B, assume_unique=True))
+                union = len(A) + len(B) - it
+                jac[i] = it / union if union else 1.0
             yield pd.DataFrame({
                 "id_a": pdf["id_a"].to_numpy(np.int64),
                 "id_b": pdf["id_b"].to_numpy(np.int64),
