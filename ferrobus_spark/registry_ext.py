@@ -468,15 +468,26 @@ def _minhash_pairs_ctes(source: str, min_agree: int) -> str:
       FROM win w CROSS JOIN params p
       GROUP BY w.doc_id, p.hidx
     ),
+    bandkeys AS MATERIALIZED (
+      -- band-level join key: all {N_HASHES // 16} sigs of a band,
+      -- order-pinned. Joining on the FULL band key is semantically
+      -- identical to the former per-position join + HAVING COUNT(*) =
+      -- band_size, but avoids the single-position collision blowup:
+      -- this synthetic corpus has pairwise Jaccard ~0.18 between
+      -- UNRELATED docs (small vocab), so a per-position join emits
+      -- ~J * 64 * C(n,2) rows (~16e9 at sf1.0) vs ~J^4 * 16 * C(n,2)
+      -- banded. First hit as a multi-hour oracle stall in the round-6
+      -- sf1.0 sweep.
+      SELECT doc_id, hidx // {N_HASHES // 16} AS band,
+             string_agg(CAST(sig AS VARCHAR), ',' ORDER BY hidx) AS bk
+      FROM sigs
+      GROUP BY doc_id, hidx // {N_HASHES // 16}
+    ),
     cand AS MATERIALIZED (
-      SELECT DISTINCT id_a, id_b FROM (
-        SELECT sa.doc_id AS id_a, sb.doc_id AS id_b
-        FROM sigs sa
-        JOIN sigs sb ON sb.hidx = sa.hidx AND sb.sig = sa.sig
-                    AND sa.doc_id < sb.doc_id
-        GROUP BY sa.doc_id, sb.doc_id, sa.hidx // {N_HASHES // 16}
-        HAVING COUNT(*) = {N_HASHES // 16}
-      )
+      SELECT DISTINCT sa.doc_id AS id_a, sb.doc_id AS id_b
+      FROM bandkeys sa
+      JOIN bandkeys sb ON sb.band = sa.band AND sb.bk = sa.bk
+                      AND sa.doc_id < sb.doc_id
     ),
     mh_pairs AS MATERIALIZED (
       SELECT c.id_a, c.id_b
