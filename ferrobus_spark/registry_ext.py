@@ -172,7 +172,9 @@ def _fingerprint_oracle() -> str:
     mix = 0x9E3779B97F4A7C15
     h = "CAST(0 AS HUGEINT)"
     for j in range(8):
-        byte = f"unicode(substr(text, CAST(i + {j + 1} AS INT), 1))"
+        # O(1) char-list indexing; see _minhash_pairs_ctes for why the
+        # old substr(text, i+j, 1) form was quadratic per document.
+        byte = f"unicode(cs[CAST(i + {j + 1} AS INT)])"
         h = f"(({h} * {base} + {byte}) % {m64}::HUGEINT)"
     return f"""
     SELECT doc_id,
@@ -191,7 +193,8 @@ def _fingerprint_oracle() -> str:
                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn
           FROM (
             SELECT doc_id, {h} AS h
-            FROM documents, unnest(range(0, length(text) - 7)) AS t(i)
+            FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+                 unnest(range(0, len(cs) - 7)) AS t(i)
           )
         ) WHERE rn <= 4
       ) GROUP BY doc_id
@@ -450,14 +453,21 @@ def _minhash_pairs_ctes(source: str, min_agree: int) -> str:
     m64 = 1 << 64
     h = "CAST(0 AS HUGEINT)"
     for j in range(5):
-        byte = f"unicode(substr(text, CAST(i + {j + 1} AS INT), 1))"
+        # O(1) list indexing into the pre-split char list — a direct
+        # substr(text, i+j, 1) is an O(i) codepoint scan in DuckDB, which
+        # made shingle hashing quadratic per document (319 s for the win
+        # CTE alone at sf0.1; 3.5 s with the char list — found while the
+        # round-6 sf1.0 sweep stalled). unicode(cs[k]) == the old
+        # unicode(substr(text, k, 1)) for every string, ASCII or not.
+        byte = f"unicode(cs[CAST(i + {j + 1} AS INT)])"
         h = f"(({h} * 1099511628211 + {byte}) % {m64}::HUGEINT)"
     return f"""params(hidx, a, b) AS MATERIALIZED (VALUES {params}),
     win AS MATERIALIZED (
       -- DISTINCT is safe (a min over a multiset equals the min over its
       -- set) and cuts the 64-permutation cross product below
       SELECT DISTINCT doc_id, ({h}) % {MERSENNE}::HUGEINT AS x
-      FROM {source}, unnest(range(0, length(text) - 4)) AS t(i)
+      FROM (SELECT doc_id, string_split(text, '') AS cs FROM {source}),
+           unnest(range(0, len(cs) - 4)) AS t(i)
     ),
     sigs AS MATERIALIZED (
       -- the engine computes (a*x + b) in WRAPPING uint64 (numpy), so the
@@ -520,7 +530,9 @@ def _simhash_oracle() -> str:
     mix = 0x9E3779B97F4A7C15
     h = "CAST(0 AS HUGEINT)"
     for j in range(4):
-        byte = f"unicode(substr(text, CAST(i + {j + 1} AS INT), 1))"
+        # O(1) char-list indexing; see _minhash_pairs_ctes for why the
+        # old substr(text, i+j, 1) form was quadratic per document.
+        byte = f"unicode(cs[CAST(i + {j + 1} AS INT)])"
         h = f"(({h} * 1099511628211 + {byte}) % {m64}::HUGEINT)"
     bit_sums = ", ".join(
         f"SUM(CAST((m // {1 << b}::HUGEINT) % 2 AS BIGINT)) AS b{b}"
@@ -533,7 +545,8 @@ def _simhash_oracle() -> str:
     return f"""
     WITH uniq AS MATERIALIZED (
       SELECT DISTINCT doc_id, {h} AS h
-      FROM documents, unnest(range(0, length(text) - 3)) AS t(i)
+      FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+           unnest(range(0, len(cs) - 3)) AS t(i)
     ),
     mixed AS MATERIALIZED (
       SELECT doc_id,
@@ -568,11 +581,16 @@ def q_simhash_near_pairs(spark, sf_dir):
 _SHINGLE_SET_SQL = """
       SELECT doc_id,
              CASE WHEN length(text) < 5 THEN [text]
-                  ELSE list_sort(array_agg(DISTINCT substr(text, CAST(i + 1 AS INT), 5)))
+                  ELSE list_sort(array_agg(DISTINCT
+                         array_to_string(cs[CAST(i + 1 AS INT):CAST(i + 5 AS INT)], '')))
              END AS s
-      FROM {src} LEFT JOIN unnest(range(0, length(text) - 4)) AS t(i) ON true
+      FROM (SELECT doc_id, text, string_split(text, '') AS cs FROM {src})
+           LEFT JOIN unnest(range(0, len(cs) - 4)) AS t(i) ON true
       GROUP BY doc_id, text
 """
+# cs[a:b] list slicing is O(window); the former substr(text, i+1, 5) was
+# an O(i) codepoint scan per shingle (quadratic per document) — see the
+# matching note in _minhash_pairs_ctes.
 # Sub-5-byte docs: the engine pads short texts to one 5-byte shingle
 # (dedup._shingle_hashes / _batch_shingle_hashes), so two short docs pair
 # iff their raw texts are EQUAL — [text] as the singleton shingle list
