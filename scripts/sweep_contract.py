@@ -1,0 +1,183 @@
+"""Resilient, resumable driver-contract sweep at an arbitrary scale factor.
+
+Mirrors tests/test_driver_contract.py's comparison exactly (canonical
+column sort, dtype-kind strictness with unsigned folded to signed,
+NaN-tolerant value equality) but runs each query in its OWN subprocess —
+fresh Spark JVM + fresh DuckDB connection — so a silent JVM exit or a
+multi-hour oracle stall costs one row, not the sweep. Motivation: the
+first round-6 sf1.0 sweep ran all 50 rows through one pytest process and
+lost the 33 remaining rows when the shared session-scoped JVM died as a
+zombie 16 tests in (BENCH/sweep_sf1_r6b_partial.log).
+
+Usage:
+  parent:  python scripts/sweep_contract.py --sf-dir /root/repo/.sfdata/sf1.0 \
+               --ledger BENCH/sweep_sf1_r6.jsonl [--timeout 7200]
+  child:   python scripts/sweep_contract.py --one NAME --sf-dir DIR
+
+The ledger is append-only JSONL, one row per query; a rerun skips names
+already recorded with status "pass" (failures/timeouts are retried), so
+the sweep resumes after interruption. Known-heavy dedup-family queries
+run last so cheap rows bank green first.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# Dedup/curation family: minutes-scale DuckDB twins at sf1.0 — run last.
+HEAVY = [
+    "ngram_exact_dups",
+    "dedup_planted_dups",
+    "minhash_dup_pairs",
+    "minhash_guard_planted_template",
+    "incremental_dedup_planted",
+    "simhash_near_pairs",
+    "curation_curated",
+]
+
+
+def _canon(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def _values_equal(a, b) -> bool:
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    return a == b
+
+
+def run_one(name: str, sf_dir: str) -> dict:
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from ferrobus_spark.session import get_spark
+
+    rec: dict = {"name": name, "sf_dir": sf_dir}
+    spark = get_spark("sweep", master="local[8]", shuffle_partitions=8)
+    t0 = time.time()
+    got = _canon(entry_mod.queries()[name](spark, sf_dir).toPandas())
+    rec["spark_s"] = round(time.time() - t0, 2)
+    rec["rows"] = len(got)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    t0 = time.time()
+    exp = _canon(con.sql(entry_mod.oracle_sql()[name]).df())
+    rec["oracle_s"] = round(time.time() - t0, 2)
+
+    errs = []
+    if list(got.columns) != list(exp.columns):
+        errs.append(f"columns {list(got.columns)} vs {list(exp.columns)}")
+    elif len(got) != len(exp):
+        errs.append(f"rows {len(got)} vs {len(exp)}")
+    else:
+        for c in got.columns:
+            gk = got[c].dtype.kind.replace("u", "i")
+            ek = exp[c].dtype.kind.replace("u", "i")
+            if gk != ek:
+                errs.append(f"dtype {c}: {got[c].dtype} vs {exp[c].dtype}")
+        if not errs:
+            for c in got.columns:
+                bad = [
+                    (i, x, y)
+                    for i, (x, y) in enumerate(zip(got[c].tolist(), exp[c].tolist()))
+                    if not _values_equal(x, y)
+                ]
+                if bad:
+                    errs.append(f"col {c}: first mismatches {bad[:5]}")
+                    break
+    rec["status"] = "pass" if not errs else "fail"
+    if errs:
+        rec["err"] = "; ".join(errs)[:2000]
+    return rec
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", required=True)
+    ap.add_argument("--ledger", default=None)
+    ap.add_argument("--one", default=None)
+    ap.add_argument("--timeout", type=int, default=7200)
+    ap.add_argument("--only", default=None, help="comma-separated name filter")
+    args = ap.parse_args()
+
+    if args.one:
+        rec = run_one(args.one, args.sf_dir)
+        print("SWEEPREC " + json.dumps(rec), flush=True)
+        return
+
+    import __spark_entry__ as entry_mod
+
+    names = sorted(entry_mod.oracle_sql().keys())
+    names = [n for n in names if n not in HEAVY] + [n for n in HEAVY if n in names]
+    if args.only:
+        keep = set(args.only.split(","))
+        names = [n for n in names if n in keep]
+
+    done: set[str] = set()
+    if args.ledger and os.path.exists(args.ledger):
+        with open(args.ledger) as f:
+            for line in f:
+                r = json.loads(line)
+                if r.get("status") == "pass":
+                    done.add(r["name"])
+
+    for name in names:
+        if name in done:
+            print(f"skip {name} (ledger pass)", flush=True)
+            continue
+        print(f"run {name} ...", flush=True)
+        t0 = time.time()
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--one", name, "--sf-dir", args.sf_dir],
+                capture_output=True, text=True, timeout=args.timeout, cwd=REPO,
+            )
+            rec = None
+            for line in p.stdout.splitlines():
+                if line.startswith("SWEEPREC "):
+                    rec = json.loads(line[len("SWEEPREC "):])
+            if rec is None:
+                rec = {
+                    "name": name, "sf_dir": args.sf_dir, "status": "error",
+                    "err": (p.stderr or p.stdout)[-2000:],
+                }
+        except subprocess.TimeoutExpired:
+            rec = {
+                "name": name, "sf_dir": args.sf_dir, "status": "timeout",
+                "err": f"exceeded {args.timeout}s",
+            }
+        rec["wall_s"] = round(time.time() - t0, 2)
+        rec["ts"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        if args.ledger:
+            with open(args.ledger, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        print(f"  -> {rec['status']} ({rec['wall_s']}s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
