@@ -170,12 +170,17 @@ def _fingerprint_oracle() -> str:
     base = 1099511628211
     m64 = 1 << 64
     mix = 0x9E3779B97F4A7C15
+    # HUGEINT % and // are software int128 division (~3.4 µs/op measured);
+    # all mod-2^64 / limb arithmetic here reduces to & and >> bit ops —
+    # see the matching note in _minhash_pairs_ctes.
+    mask = f"{(1 << 64) - 1}::HUGEINT"
+    m32 = f"{(1 << 32) - 1}::HUGEINT"
     h = "CAST(0 AS HUGEINT)"
     for j in range(8):
         # O(1) char-list indexing; see _minhash_pairs_ctes for why the
         # old substr(text, i+j, 1) form was quadratic per document.
         byte = f"unicode(cs[CAST(i + {j + 1} AS INT)])"
-        h = f"(({h} * {base} + {byte}) % {m64}::HUGEINT)"
+        h = f"(({h} * {base} + {byte}) & {mask})"
     return f"""
     SELECT doc_id,
            CAST(CASE WHEN x >= {1 << 63}::HUGEINT
@@ -185,9 +190,9 @@ def _fingerprint_oracle() -> str:
       SELECT doc_id, CAST(bit_xor(CAST(m AS UBIGINT)) AS HUGEINT) AS x
       FROM (
         SELECT doc_id,
-               ((h % {1 << 32}) * {mix}::HUGEINT
-                + (((h // {1 << 32}) * {mix}::HUGEINT) % {1 << 32})
-                  * {1 << 32}::HUGEINT) % {m64}::HUGEINT AS m
+               ((h & {m32}) * {mix}::HUGEINT
+                + (((h >> 32) * {mix}::HUGEINT) & {m32})
+                  * {1 << 32}::HUGEINT) & {mask} AS m
         FROM (
           SELECT doc_id, h,
                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn
@@ -450,7 +455,22 @@ def _minhash_pairs_ctes(source: str, min_agree: int) -> str:
     params = ", ".join(
         f"({i}, {int(a[i])}, {int(b[i])})" for i in range(N_HASHES)
     )
-    m64 = 1 << 64
+    # HUGEINT % is software int128 division (~3.4 µs/row measured — it
+    # alone was 22 s of the 23 s chain at sf0.01 and the root cause of the
+    # round-6 sf1.0 oracle stall at 64 permutations × millions of
+    # shingles). Both moduli reduce to bit ops: x % 2^64 == x & (2^64-1)
+    # for non-negative x, and for y < 2^64, y % (2^61-1) folds as
+    # (y >> 61) + (y & M) with one conditional subtract (2^61 ≡ 1 mod M;
+    # the fold sum is < M + 8, so a single subtract suffices — verified
+    # exact vs % on 1M random u64 values and the edge cases 0, M-1, M,
+    # M+1, 2M, 2^64-1).
+    mask = f"{(1 << 64) - 1}::HUGEINT"
+    M = f"{MERSENNE}::HUGEINT"
+
+    def fold(y: str) -> str:
+        s = f"(({y} >> 61) + ({y} & {M}))"
+        return f"(CASE WHEN {s} >= {M} THEN {s} - {M} ELSE {s} END)"
+
     h = "CAST(0 AS HUGEINT)"
     for j in range(5):
         # O(1) list indexing into the pre-split char list — a direct
@@ -460,21 +480,24 @@ def _minhash_pairs_ctes(source: str, min_agree: int) -> str:
         # round-6 sf1.0 sweep stalled). unicode(cs[k]) == the old
         # unicode(substr(text, k, 1)) for every string, ASCII or not.
         byte = f"unicode(cs[CAST(i + {j + 1} AS INT)])"
-        h = f"(({h} * 1099511628211 + {byte}) % {m64}::HUGEINT)"
+        h = f"(({h} * 1099511628211 + {byte}) & {mask})"
+    perm = f"((((p.a * w.x) & {mask}) + p.b) & {mask})"
     return f"""params(hidx, a, b) AS MATERIALIZED (VALUES {params}),
+    rolled AS (
+      SELECT doc_id, ({h}) AS h64
+      FROM (SELECT doc_id, string_split(text, '') AS cs FROM {source}),
+           unnest(range(0, len(cs) - 4)) AS t(i)
+    ),
     win AS MATERIALIZED (
       -- DISTINCT is safe (a min over a multiset equals the min over its
       -- set) and cuts the 64-permutation cross product below
-      SELECT DISTINCT doc_id, ({h}) % {MERSENNE}::HUGEINT AS x
-      FROM (SELECT doc_id, string_split(text, '') AS cs FROM {source}),
-           unnest(range(0, len(cs) - 4)) AS t(i)
+      SELECT DISTINCT doc_id, {fold("h64")} AS x
+      FROM rolled
     ),
     sigs AS MATERIALIZED (
       -- the engine computes (a*x + b) in WRAPPING uint64 (numpy), so the
       -- permutation is really ((a*x mod 2^64) + b) mod 2^64, then mod M
-      SELECT w.doc_id, p.hidx,
-             MIN((((p.a * w.x) % {m64}::HUGEINT + p.b) % {m64}::HUGEINT)
-                 % {MERSENNE}::HUGEINT) AS sig
+      SELECT w.doc_id, p.hidx, MIN({fold(perm)}) AS sig
       FROM win w CROSS JOIN params p
       GROUP BY w.doc_id, p.hidx
     ),
@@ -528,14 +551,19 @@ def _simhash_oracle() -> str:
     ASCII/len≥4 corpus assumptions as in the fingerprint oracle."""
     m64 = 1 << 64
     mix = 0x9E3779B97F4A7C15
+    # bit ops instead of HUGEINT %/// — software int128 division made the
+    # 64 per-bit vote sums alone ~1.4e9 divisions at sf1.0; see the
+    # matching note in _minhash_pairs_ctes.
+    mask = f"{(1 << 64) - 1}::HUGEINT"
+    m32 = f"{(1 << 32) - 1}::HUGEINT"
     h = "CAST(0 AS HUGEINT)"
     for j in range(4):
         # O(1) char-list indexing; see _minhash_pairs_ctes for why the
         # old substr(text, i+j, 1) form was quadratic per document.
         byte = f"unicode(cs[CAST(i + {j + 1} AS INT)])"
-        h = f"(({h} * 1099511628211 + {byte}) % {m64}::HUGEINT)"
+        h = f"(({h} * 1099511628211 + {byte}) & {mask})"
     bit_sums = ", ".join(
-        f"SUM(CAST((m // {1 << b}::HUGEINT) % 2 AS BIGINT)) AS b{b}"
+        f"SUM(CAST((m >> {b}) & 1::HUGEINT AS BIGINT)) AS b{b}"
         for b in range(64)
     )
     value = " + ".join(
@@ -550,9 +578,9 @@ def _simhash_oracle() -> str:
     ),
     mixed AS MATERIALIZED (
       SELECT doc_id,
-             ((h % {1 << 32}) * {mix}::HUGEINT
-              + (((h // {1 << 32}) * {mix}::HUGEINT) % {1 << 32})
-                * {1 << 32}::HUGEINT) % {m64}::HUGEINT AS m
+             ((h & {m32}) * {mix}::HUGEINT
+              + (((h >> 32) * {mix}::HUGEINT) & {m32})
+                * {1 << 32}::HUGEINT) & {mask} AS m
       FROM uniq
     ),
     votes AS MATERIALIZED (
@@ -889,15 +917,21 @@ def q_curation_curated(spark, sf_dir):
 @register(
     "knn_embeddings_bruteforce",
     """
-    SELECT query_id, neighbor_id, rank FROM (
+    -- sims is materialized NARROW (24 B/row) before the window: with the
+    -- cosine inlined in the window's ORDER BY, DuckDB carries both
+    -- embedding lists in the sort payload (~1 KB/row — 90+ GB at the
+    -- sf1.0 sweep's 400M pairs, killing the host; found round 6).
+    WITH sims AS MATERIALIZED (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.embedding, c.embedding) AS sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
              ROW_NUMBER() OVER (
-               PARTITION BY q.vec_id
-               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
-                        c.vec_id
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id
              ) AS rank
-      FROM embeddings q CROSS JOIN embeddings c
-      WHERE q.vec_id <> c.vec_id
+      FROM sims
     ) WHERE rank <= 3
     """,
 )
@@ -1056,15 +1090,23 @@ def _knn_ivf_oracle() -> str:
       FROM q_probe q JOIN c_assign c ON c.cid = q.cid
       WHERE q.vec_id <> c.vec_id
     )
-    SELECT query_id, neighbor_id, rank FROM (
+    ,
+    -- narrow (24 B/row) re-rank input: with the cosine inlined in the
+    -- window ORDER BY, the sort payload carries both embedding lists
+    -- (~1 KB/row; OOM at the sf1.0 sweep's ~2e8 candidates) — same fix
+    -- as knn_embeddings_bruteforce, round 6
+    rerank AS MATERIALIZED (
       SELECT cand.query_id, cand.neighbor_id,
-             ROW_NUMBER() OVER (
-               PARTITION BY cand.query_id
-               ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC,
-                        cand.neighbor_id
-             ) AS rank
+             list_cosine_similarity(qe.embedding, ce.embedding) AS sim
       FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
                 JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+             ) AS rank
+      FROM rerank
     ) WHERE rank <= 3
     """
 

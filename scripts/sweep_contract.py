@@ -67,6 +67,11 @@ def _values_equal(a, b) -> bool:
 
 
 def run_one(name: str, sf_dir: str) -> dict:
+    # data-dependent oracles (the IVF quantizer twin) read the gate's sf
+    # directory from this env var, not from the queries() argument — keep
+    # both in lockstep or the oracle trains on the wrong corpus
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import duckdb
 
     import __spark_entry__ as entry_mod
@@ -80,6 +85,11 @@ def run_one(name: str, sf_dir: str) -> dict:
     rec["rows"] = len(got)
 
     con = duckdb.connect()
+    # cap + spill: DuckDB's default limit (80% of RAM) let one runaway
+    # oracle sort reach 90 GB RSS and threaten the whole host; bound it
+    # and give it a spill dir so heavy sorts go to disk instead.
+    con.sql("SET memory_limit='40GB'")
+    con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         if os.path.exists(path):
