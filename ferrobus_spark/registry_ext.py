@@ -977,15 +977,21 @@ def _knn_lsh_oracle() -> str:
       FROM buckets a JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
       WHERE a.vec_id <> b.vec_id
     )
-    SELECT query_id, neighbor_id, rank FROM (
+    ,
+    -- narrow re-rank input (same wide-sort-payload fix as the
+    -- brute-force/IVF twins, round 6)
+    rerank AS MATERIALIZED (
       SELECT cand.query_id, cand.neighbor_id,
-             ROW_NUMBER() OVER (
-               PARTITION BY cand.query_id
-               ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
-                        cand.neighbor_id
-             ) AS rank
+             list_cosine_similarity(q.embedding, c.embedding) AS sim
       FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
                 JOIN embeddings c ON c.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY sim DESC, neighbor_id
+             ) AS rank
+      FROM rerank
     ) WHERE rank <= 3
     """
 
