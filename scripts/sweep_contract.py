@@ -87,8 +87,11 @@ def run_one(name: str, sf_dir: str) -> dict:
     con = duckdb.connect()
     # cap + spill: DuckDB's default limit (80% of RAM) let one runaway
     # oracle sort reach 90 GB RSS and threaten the whole host; bound it
-    # and give it a spill dir so heavy sorts go to disk instead.
-    con.sql("SET memory_limit='40GB'")
+    # and give it a spill dir so heavy sorts go to disk instead. The cap
+    # is deliberately HIGH (children run one at a time): a 40 GB cap
+    # pushed the minhash twin's 723M-row aggregate buffer to disk and
+    # filled the 80 GB of free /tmp instead of the 125 GB of free RAM.
+    con.sql("SET memory_limit='85GB'")
     con.sql("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
