@@ -442,13 +442,26 @@ def _minhash_oracle() -> str:
     """
 
 
-def _minhash_pairs_ctes(source: str, min_agree: int) -> str:
+def _minhash_pairs_ctes(source: str, min_agree: int, cap: int = 256) -> str:
     """CTE chain (params/win/sigs/cand/mh_pairs) computing the
     minhash→banded-LSH→agreement-filtered pairs of ``source`` (a table
     or earlier CTE with doc_id, text). ``min_agree`` is the signature
     agreement threshold (ceil(threshold * N_HASHES)). Embeddable in a
     larger WITH chain (the curation oracle reuses it over the
-    exact-dedup survivors)."""
+    exact-dedup survivors).
+
+    ``cap`` mirrors the engine's hot-bucket guard (``max_bucket_size``,
+    dedup.py:_hot_bucket_split): band buckets with more than ``cap``
+    members skip the pair join and instead emit a min-id STAR per
+    identical-FULL-signature group. The guard is part of the gated
+    production semantics (its drop/star behavior is separately pinned by
+    the closed-form ``minhash_guard_planted_template`` oracle); sf1.0 is
+    the first gate corpus where hot buckets actually change the output
+    (10 guarded drops surfaced as a round-6 sweep mismatch in the
+    simhash family first). Differences from the engine that cannot
+    produce output drift short of a 32/64-bit hash collision: the engine
+    buckets on Murmur3 of the band slice and stars on xxhash64 of the
+    signature; the twin uses the exact band values / full signature."""
     from ferrobus_spark.operators.dedup import MERSENNE, N_HASHES, _minhash_params
 
     a, b = _minhash_params(N_HASHES)
@@ -520,11 +533,33 @@ def _minhash_pairs_ctes(source: str, min_agree: int) -> str:
       FROM sigs
       GROUP BY doc_id, hidx // {N_HASHES // 16}
     ),
+    sigstr AS MATERIALIZED (
+      SELECT doc_id, string_agg(CAST(sig AS VARCHAR), ',' ORDER BY hidx) AS ss
+      FROM sigs GROUP BY doc_id
+    ),
+    hotk AS MATERIALIZED (
+      SELECT band, bk FROM bandkeys GROUP BY band, bk HAVING COUNT(*) > {cap}
+    ),
+    coldk AS MATERIALIZED (
+      SELECT b.* FROM bandkeys b ANTI JOIN hotk USING (band, bk)
+    ),
+    star AS (
+      SELECT gmin AS id_a, doc_id AS id_b FROM (
+        SELECT h.doc_id,
+               MIN(h.doc_id) OVER (PARTITION BY h.band, h.bk, s.ss) AS gmin
+        FROM (SELECT b.* FROM bandkeys b SEMI JOIN hotk USING (band, bk)) h
+        JOIN sigstr s USING (doc_id)
+      ) WHERE doc_id <> gmin
+    ),
     cand AS MATERIALIZED (
-      SELECT DISTINCT sa.doc_id AS id_a, sb.doc_id AS id_b
-      FROM bandkeys sa
-      JOIN bandkeys sb ON sb.band = sa.band AND sb.bk = sa.bk
-                      AND sa.doc_id < sb.doc_id
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT sa.doc_id AS id_a, sb.doc_id AS id_b
+        FROM coldk sa
+        JOIN coldk sb ON sb.band = sa.band AND sb.bk = sa.bk
+                     AND sa.doc_id < sb.doc_id
+        UNION ALL
+        SELECT id_a, id_b FROM star
+      )
     ),
     mh_pairs AS MATERIALIZED (
       SELECT c.id_a, c.id_b
@@ -548,10 +583,18 @@ def q_minhash_dup_pairs(spark, sf_dir):
 def _simhash_oracle() -> str:
     """DuckDB twin of simhash_col + simhash_near_pairs: 4-byte rolling
     window hashes (mod 2^64), per-doc DISTINCT shingles, golden-ratio
-    mix, 64 majority bit votes, then BRUTE-FORCE Hamming ≤ 3 pairs.
-    Brute force is provably identical to the engine's 4×16-bit
-    pigeonhole banding (hamming ≤ 3 ⇒ ≥ 1 band equal), so the oracle
-    independently checks both the signature and the banding recall.
+    mix, 64 majority bit votes, then the engine's 4×16-bit chunk
+    banding WITH the hot-bucket guard modeled (chunk buckets over 256
+    members emit min-id stars per identical full simhash instead of the
+    pair join — identical semantics to dedup._hot_bucket_split), and
+    Hamming ≤ 3 refine over the candidates. Until round 6 this twin was
+    pure brute force (sound because hamming ≤ 3 ⇒ ≥ 1 band equal —
+    banding recall is lossless); sf1.0 is the first gate corpus with
+    over-cap buckets, where the guard's documented drops make brute
+    force strictly LARGER than the production output (10 pairs at
+    sf1.0), so the twin now models the guard. The guard's own star/drop
+    semantics remain independently pinned by the closed-form
+    minhash_guard_planted_template oracle.
     ASCII/len≥4 corpus assumptions as in the fingerprint oracle."""
     m64 = 1 << 64
     mix = 0x9E3779B97F4A7C15
@@ -591,15 +634,47 @@ def _simhash_oracle() -> str:
       SELECT doc_id, COUNT(*) AS n, {bit_sums} FROM mixed GROUP BY doc_id
     ),
     sims AS MATERIALIZED (
-      SELECT doc_id,
+      SELECT doc_id, v,
              CAST(CASE WHEN v >= {1 << 63}::HUGEINT
                        THEN v - {m64}::HUGEINT ELSE v END AS BIGINT) AS s
       FROM (SELECT doc_id, ({value}) AS v FROM votes)
+    ),
+    -- engine banding: chunk b of doc = bits [16b, 16b+16) of the
+    -- unsigned simhash (shiftright+mask on the signed value extracts
+    -- the same bits)
+    bands AS MATERIALIZED (
+      SELECT doc_id, s, b,
+             CAST((v >> (16 * b)) & 65535::HUGEINT AS BIGINT) AS chunk
+      FROM sims CROSS JOIN unnest([0, 1, 2, 3]) AS t(b)
+    ),
+    hotk AS MATERIALIZED (
+      SELECT b, chunk FROM bands GROUP BY b, chunk HAVING COUNT(*) > 256
+    ),
+    coldk AS MATERIALIZED (
+      SELECT x.* FROM bands x ANTI JOIN hotk USING (b, chunk)
+    ),
+    star AS (
+      SELECT gmin AS id_a, doc_id AS id_b FROM (
+        SELECT h.doc_id,
+               MIN(h.doc_id) OVER (PARTITION BY h.b, h.chunk, h.s) AS gmin
+        FROM (SELECT x.* FROM bands x SEMI JOIN hotk USING (b, chunk)) h
+      ) WHERE doc_id <> gmin
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, c.doc_id AS id_b
+        FROM coldk a
+        JOIN coldk c ON c.b = a.b AND c.chunk = a.chunk
+                    AND a.doc_id < c.doc_id
+        UNION ALL
+        SELECT id_a, id_b FROM star
+      )
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
-    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.s, b.s)) <= 3
+    SELECT cand.id_a, cand.id_b,
+           CAST(bit_count(xor(sa.s, sb.s)) AS INTEGER) AS hamming
+    FROM cand JOIN sims sa ON sa.doc_id = cand.id_a
+              JOIN sims sb ON sb.doc_id = cand.id_b
+    WHERE bit_count(xor(sa.s, sb.s)) <= 3
     """
 
 
