@@ -314,4 +314,7 @@ def test_ivf_topk_plan_shape(spark, embeddings):
     plan = _plan_str(res)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # round-6 shape: the re-rank is a list_id COGROUP (one matmul per
+    # inverted list, per-list top-k), not a candidate equi-join carrying
+    # both vectors per pair — the join shape moved ~200 GB at sf1.0
+    assert "FlatMapCoGroupsInPandas" in plan
