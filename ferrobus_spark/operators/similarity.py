@@ -125,20 +125,28 @@ def _hyperplanes(dim: int, n_bits: int) -> np.ndarray:
 
 
 def _sign_buckets(df: DataFrame, planes: np.ndarray, id_col: str, vec_col: str,
-                  n_tables: int, bits_per_table: int, spark: SparkSession) -> DataFrame:
-    """(id, table, bucket) rows — ids ONLY, never the embeddings.
+                  n_tables: int, bits_per_table: int, spark: SparkSession,
+                  include_vec: bool = False) -> DataFrame:
+    """(id, table, bucket[, vec]) rows.
 
-    The bucket join and candidate dedup run on these narrow rows; vectors
-    are joined back exactly once after dedup (see lsh_topk). Shuffling the
-    embedding arrays ×n_tables through the bucket join and hash-distincting
-    rows containing float arrays was the plan's 100 TB scale-killer.
+    With ``include_vec=False`` the rows are ids ONLY — the shape the
+    streaming/stats callers use. ``include_vec=True`` additionally
+    carries the NORMALIZED vector so the bucket cogroup in
+    :func:`lsh_topk` can score each bucket block with one matmul; that
+    costs one vector copy per table membership (×n_tables), which is
+    LINEAR in corpus size — versus one copy per CANDIDATE PAIR in the
+    former join-back re-rank, which grows with bucket occupancy² (the
+    round-6 IVF lesson; see ivf_topk's docstring).
     """
     bc = spark.sparkContext.broadcast(planes)
-    out_t = T.StructType([
+    fields = [
         T.StructField("id", T.LongType()),
         T.StructField("table", T.IntegerType()),
         T.StructField("bucket", T.LongType()),
-    ])
+    ]
+    if include_vec:
+        fields.append(T.StructField("vec", T.ArrayType(T.DoubleType())))
+    out_t = T.StructType(fields)
 
     def kernel(batches):
         pl = bc.value
@@ -147,6 +155,9 @@ def _sign_buckets(df: DataFrame, planes: np.ndarray, id_col: str, vec_col: str,
             ids = pdf[id_col].to_numpy(np.int64)
             signs = (mat @ pl.T) >= 0  # (n, n_bits)
             rows = {"id": [], "table": [], "bucket": []}
+            if include_vec:
+                rows["vec"] = []
+                vlist = mat.tolist()
             pw = (1 << np.arange(bits_per_table, dtype=np.int64))
             for t in range(n_tables):
                 chunk = signs[:, t * bits_per_table : (t + 1) * bits_per_table]
@@ -154,6 +165,8 @@ def _sign_buckets(df: DataFrame, planes: np.ndarray, id_col: str, vec_col: str,
                 rows["id"] += ids.tolist()
                 rows["table"] += [t] * len(ids)
                 rows["bucket"] += buckets.tolist()
+                if include_vec:
+                    rows["vec"] += vlist
             yield pd.DataFrame(rows)
 
     from ferrobus_spark.plans.partitioning import spread_for_kernel
@@ -195,23 +208,60 @@ def lsh_topk(
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_tables * bits_per_table)
-    qb = _sign_buckets(queries, planes, id_col, vec_col, n_tables, bits_per_table, spark)
-    cb = _sign_buckets(corpus, planes, id_col, vec_col, n_tables, bits_per_table, spark)
-    # candidates on BARE ids: equi-join buckets, dedup the (query, neighbor)
-    # pairs while rows are 16 bytes wide, THEN join the two vector tables
-    # back exactly once for the re-rank (same plan shape as the minhash
-    # path, dedup.py banding).
+    qb = _sign_buckets(queries, planes, id_col, vec_col, n_tables,
+                       bits_per_table, spark, include_vec=True)
+    cb = _sign_buckets(corpus, planes, id_col, vec_col, n_tables,
+                       bits_per_table, spark, include_vec=True)
+    # Per-bucket cogroup top-k (the round-6 IVF shape): each (table,
+    # bucket) block is scored with one matmul and only its top-k id
+    # pairs survive, so the distinct + vector join-back below see
+    # ≤ n_tables·k rows per query instead of every bucket collision
+    # (~625/query at sf1.0). Exact: any global top-k neighbor shares
+    # ≥ 1 bucket with the query and ranks ≤ k inside it, so the union
+    # of per-bucket top-ks contains the global top-k; ties break
+    # (cosine DESC, id ASC) at both levels, and only identical vectors
+    # tie exactly. In-bucket scores are used for SELECTION only — the
+    # returned cosine is computed once below on the deduped pairs, the
+    # same expression the gate has always hashed.
+    pre_t = T.StructType([
+        T.StructField("query_id", T.LongType()),
+        T.StructField("neighbor_id", T.LongType()),
+    ])
+
+    def bucket_topk(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if qpdf.empty or cpdf.empty:
+            return pd.DataFrame({"query_id": [], "neighbor_id": []}).astype(
+                {"query_id": "int64", "neighbor_id": "int64"}
+            )
+        qids = qpdf["id"].to_numpy(np.int64)
+        cids = cpdf["id"].to_numpy(np.int64)
+        qm = np.stack(qpdf["vec"].to_numpy())
+        cm = np.stack(cpdf["vec"].to_numpy())
+        out = {"query_id": [], "neighbor_id": []}
+        # chunk the matmul so a pathological mega-bucket bounds memory
+        # at (chunk × bucket) instead of (bucket × bucket)
+        for lo in range(0, len(qids), 4096):
+            sims = qm[lo:lo + 4096] @ cm.T  # normalized → cosine
+            for i in range(sims.shape[0]):
+                qid = qids[lo + i]
+                order = np.lexsort((cids, -sims[i]))
+                taken = 0
+                for j in order:
+                    if exclude_self and cids[j] == qid:
+                        continue
+                    out["query_id"].append(int(qid))
+                    out["neighbor_id"].append(int(cids[j]))
+                    taken += 1
+                    if taken >= k:
+                        break
+        return pd.DataFrame(out)
+
     cand = (
-        qb.select(F.col("id").alias("query_id"), "table", "bucket")
-        .join(
-            cb.select(F.col("id").alias("neighbor_id"), "table", "bucket"),
-            ["table", "bucket"],
-        )
-        .select("query_id", "neighbor_id")
+        qb.groupBy("table", "bucket")
+        .cogroup(cb.groupBy("table", "bucket"))
+        .applyInPandas(lambda qp, cp: bucket_topk(qp, cp), pre_t)
+        .distinct()
     )
-    if exclude_self:
-        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
-    cand = cand.distinct()
 
     qv = _with_norm(queries, id_col, vec_col, "q")
     cv = _with_norm(corpus, id_col, vec_col, "c")
