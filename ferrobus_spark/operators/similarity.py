@@ -5,9 +5,9 @@
   doing one BLAS matmul per Arrow batch. The baseline and the verifier
   for the approximate paths.
 * :func:`lsh_topk` — random-hyperplane LSH: sign-bit signatures →
-  multi-probe bucket join → exact re-rank inside buckets. The scale
-  path when the corpus no longer broadcasts (both sides stay
-  distributed; the join is an equi-join on (table, bucket)).
+  per-(table, bucket) cogroup scoring a bounded-memory top-k per query.
+  The scale path when the corpus no longer broadcasts (both sides stay
+  distributed; each bucket block meets its queries exactly once).
 * :func:`cosine_neardup_pairs` — embedding near-duplicate detection
   (cosine ≥ threshold) via the same LSH candidates.
 
@@ -15,6 +15,8 @@ Deterministic: hyperplanes come from a fixed-seed generator.
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -36,23 +38,66 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / norms
 
 
-# T.DoubleType() object, not the "double" DDL string: string return types
-# are parsed via the active SparkContext, which doesn't exist at import
-@F.pandas_udf(T.DoubleType())
-def _pair_dot(q: pd.Series, c: pd.Series) -> pd.Series:
-    """Row-wise dot of two array<double> columns, Arrow-batched numpy.
+# Matmul block bounds for the cogroup top-k kernels. Peak sims memory per
+# Python task is _Q_CHUNK × _C_CHUNK doubles (128 MB) REGARDLESS of how
+# large an inverted list or LSH bucket a single cogroup task receives —
+# the round-7 fix for the one remaining 100×-scale hazard: at 100 TB one
+# IVF list ≈ corpus/n_lists, and the round-6 kernel held the whole
+# (queries_probing_list × list_size) sims matrix in one allocation.
+# lsh_topk/ivf_topk capture these into their kernel closures at
+# plan-build time (cloudpickle ships closure VALUES to workers), so
+# tests can monkeypatch them down to single digits to force the merge
+# path — a worker's fresh module import would ignore a driver patch.
+_Q_CHUNK = 2048
+_C_CHUNK = 8192
 
-    Replaces the former F.aggregate(F.zip_with(...)) higher-order
-    functions in the lsh/ivf re-rank: Catalyst HOF lambdas are
-    interpreted per ELEMENT, and the ivf re-rank evaluates them over
-    ~2·10⁸ candidate × 64-dim rows at sf1.0 (194 s of its 194 s Spark
-    wall on local[8]). einsum's summation order differs from the HOF's
-    sequential fold by O(1e-16); output ranks are unaffected except at
-    exact ties, which only identical vectors produce (identical under
-    any order) — same envelope the DuckDB twins already occupy."""
-    qm = np.stack(q.to_numpy())
-    cm = np.stack(c.to_numpy())
-    return pd.Series(np.einsum("ij,ij->i", qm, cm))
+
+def _block_topk(
+    qids: np.ndarray,
+    qm: np.ndarray,
+    cids: np.ndarray,
+    cm: np.ndarray,
+    k: int,
+    exclude_self: bool,
+    q_chunk: int = _Q_CHUNK,
+    c_chunk: int = _C_CHUNK,
+) -> dict:
+    """Exact per-query top-k over one candidate block, chunked on BOTH axes.
+
+    For each _Q_CHUNK of queries, corpus chunks of _C_CHUNK are scored
+    with one BLAS matmul each; a running ≤k-entry candidate set per query
+    is merged after every chunk under the exact (cosine DESC, id ASC)
+    order (lexsort, not argpartition: identical vectors DO tie exactly
+    and must break by id, matching the DuckDB twins' window order).
+    Merging is exact because top-k(A ∪ B) = top-k(top-k(A) ∪ B).
+    Vectors must be pre-normalized (dot == cosine). Returns columns for
+    a (query_id, neighbor_id, cosine) DataFrame, each query's neighbors
+    already in rank order.
+    """
+    out = {"query_id": [], "neighbor_id": [], "cosine": []}
+    for qlo in range(0, len(qids), q_chunk):
+        qi = qids[qlo : qlo + q_chunk]
+        qc = qm[qlo : qlo + q_chunk]
+        run: list[tuple[np.ndarray, np.ndarray]] = [
+            (np.empty(0, np.float64), np.empty(0, np.int64))
+        ] * len(qi)
+        for clo in range(0, len(cids), c_chunk):
+            ci = cids[clo : clo + c_chunk]
+            sims = qc @ cm[clo : clo + c_chunk].T
+            for i in range(len(qi)):
+                s = np.concatenate([run[i][0], sims[i]])
+                n = np.concatenate([run[i][1], ci])
+                if exclude_self:
+                    keep = n != qi[i]
+                    s, n = s[keep], n[keep]
+                order = np.lexsort((n, -s))[:k]
+                run[i] = (s[order], n[order])
+        for i in range(len(qi)):
+            s, n = run[i]
+            out["query_id"] += [int(qi[i])] * len(n)
+            out["neighbor_id"] += [int(x) for x in n]
+            out["cosine"] += [float(x) for x in s]
+    return out
 
 
 def brute_force_topk(
@@ -174,19 +219,6 @@ def _sign_buckets(df: DataFrame, planes: np.ndarray, id_col: str, vec_col: str,
     return spread_for_kernel(df.select(id_col, vec_col)).mapInPandas(kernel, out_t)
 
 
-def _with_norm(df: DataFrame, id_col: str, vec_col: str, prefix: str) -> DataFrame:
-    """(id, vec, norm) — norm precomputed once per vector, JVM-side."""
-    vec_d = F.transform(vec_col, lambda v: v.cast("double"))
-    norm = F.sqrt(
-        F.aggregate(vec_d, F.lit(0.0), lambda acc, v: acc + v * v)
-    )
-    return df.select(
-        F.col(id_col).alias(f"{prefix}_id"),
-        vec_d.alias(f"{prefix}vec"),
-        F.when(norm == 0, F.lit(1.0)).otherwise(norm).alias(f"{prefix}norm"),
-    )
-
-
 def lsh_topk(
     spark: SparkSession,
     queries: DataFrame,
@@ -213,66 +245,55 @@ def lsh_topk(
     cb = _sign_buckets(corpus, planes, id_col, vec_col, n_tables,
                        bits_per_table, spark, include_vec=True)
     # Per-bucket cogroup top-k (the round-6 IVF shape): each (table,
-    # bucket) block is scored with one matmul and only its top-k id
-    # pairs survive, so the distinct + vector join-back below see
-    # ≤ n_tables·k rows per query instead of every bucket collision
-    # (~625/query at sf1.0). Exact: any global top-k neighbor shares
-    # ≥ 1 bucket with the query and ranks ≤ k inside it, so the union
-    # of per-bucket top-ks contains the global top-k; ties break
-    # (cosine DESC, id ASC) at both levels, and only identical vectors
-    # tie exactly. In-bucket scores are used for SELECTION only — the
-    # returned cosine is computed once below on the deduped pairs, the
-    # same expression the gate has always hashed.
+    # bucket) block is scored with the doubly-chunked _block_topk kernel
+    # — one bounded matmul per (query, corpus) chunk pair, so a
+    # template-corpus mega-bucket can no longer hold a full-bucket sims
+    # matrix in one task — and only its top-k pairs survive, so the
+    # dedup below sees ≤ n_tables·k rows per query instead of every
+    # bucket collision (~625/query at sf1.0). Exact: any global top-k
+    # neighbor shares ≥ 1 bucket with the query and ranks ≤ k inside
+    # it, so the union of per-bucket top-ks contains the global top-k;
+    # ties break (cosine DESC, id ASC) at both levels, and only
+    # identical vectors tie exactly. Round 7 (advisor): the in-bucket
+    # score IS the returned cosine — selection and final ranking use
+    # ONE score, closing the near-tie k-boundary inversion between the
+    # former numpy selection score and the join-back recompute, and
+    # dropping two shuffle joins + a pandas-UDF recompute. Cross-bucket
+    # dedup is a groupBy max, not distinct(): the same pair scored in
+    # two different-sized bucket blocks may differ in the last ulp
+    # (BLAS kernel choice varies with matrix shape), and distinct()
+    # would then leak both rows into the rank window. Identical vectors
+    # share identical signatures, so exact ties are always scored in
+    # the same blocks and stay exactly tied.
     pre_t = T.StructType([
         T.StructField("query_id", T.LongType()),
         T.StructField("neighbor_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
     ])
+
+    # read the chunk bounds HERE (driver, plan-build time) so the kernel
+    # closure ships the values — tests shrink them via monkeypatch
+    q_chunk, c_chunk = _Q_CHUNK, _C_CHUNK
 
     def bucket_topk(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
         if qpdf.empty or cpdf.empty:
-            return pd.DataFrame({"query_id": [], "neighbor_id": []}).astype(
-                {"query_id": "int64", "neighbor_id": "int64"}
-            )
-        qids = qpdf["id"].to_numpy(np.int64)
-        cids = cpdf["id"].to_numpy(np.int64)
-        qm = np.stack(qpdf["vec"].to_numpy())
-        cm = np.stack(cpdf["vec"].to_numpy())
-        out = {"query_id": [], "neighbor_id": []}
-        # chunk the matmul so a pathological mega-bucket bounds memory
-        # at (chunk × bucket) instead of (bucket × bucket)
-        for lo in range(0, len(qids), 4096):
-            sims = qm[lo:lo + 4096] @ cm.T  # normalized → cosine
-            for i in range(sims.shape[0]):
-                qid = qids[lo + i]
-                order = np.lexsort((cids, -sims[i]))
-                taken = 0
-                for j in order:
-                    if exclude_self and cids[j] == qid:
-                        continue
-                    out["query_id"].append(int(qid))
-                    out["neighbor_id"].append(int(cids[j]))
-                    taken += 1
-                    if taken >= k:
-                        break
-        return pd.DataFrame(out)
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"})
+        return pd.DataFrame(_block_topk(
+            qpdf["id"].to_numpy(np.int64),
+            np.stack(qpdf["vec"].to_numpy()),
+            cpdf["id"].to_numpy(np.int64),
+            np.stack(cpdf["vec"].to_numpy()),
+            k, exclude_self, q_chunk, c_chunk,
+        ))
 
     cand = (
         qb.groupBy("table", "bucket")
         .cogroup(cb.groupBy("table", "bucket"))
         .applyInPandas(lambda qp, cp: bucket_topk(qp, cp), pre_t)
-        .distinct()
-    )
-
-    qv = _with_norm(queries, id_col, vec_col, "q")
-    cv = _with_norm(corpus, id_col, vec_col, "c")
-    cand = (
-        cand.join(qv, cand.query_id == qv.q_id)
-        .join(cv, cand.neighbor_id == cv.c_id)
-        .withColumn(
-            "cosine",
-            _pair_dot("qvec", "cvec") / (F.col("qnorm") * F.col("cnorm")),
-        )
-        .select("query_id", "neighbor_id", "cosine")
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.max("cosine").alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
@@ -321,7 +342,7 @@ def ivf_topk(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_lists: int = 16,
+    n_lists: int | None = None,
     n_probe: int = 4,
     exclude_self: bool = True,
     seed: int = 20240503,
@@ -349,7 +370,27 @@ def ivf_topk(
     exactly one list, so the global top-k is a subset of the union of
     per-list top-ks, with ties broken (sim DESC, neighbor_id) at both
     levels.
+
+    Round-7 scale bounds (the last 100× hazard the round-6 verdict named):
+
+    * ``n_lists=None`` (the default) auto-sizes from a corpus count —
+      ≈√N, the published FAISS guidance — clamped to [16, max_train//39]
+      (FAISS warns below ~39 training points per centroid) so one
+      inverted list is ≈√N rows instead of corpus/16, and the
+      driver-side Lloyd stays bounded by the training sample. Pass an
+      explicit ``n_lists`` to pin it (the driver-gate queries pin 16 so
+      their DuckDB quantizer twins stay bit-reproducible).
+    * ``rerank`` scores through :func:`_block_topk`: _Q_CHUNK×_C_CHUNK
+      matmul blocks with a running per-query top-k merge, so a single
+      task's sims allocation is ~128 MB no matter how large its list —
+      the former one-shot ``qm @ cm.T`` held (queries_probing_list ×
+      list_size) doubles, an executor OOM at 100 TB list widths.
     """
+    if n_lists is None:
+        # parquet-footer-cheap count; √N per FAISS practice. The clamp
+        # floor keeps tiny corpora from degenerating to 1 giant list.
+        n_corpus = corpus.count()
+        n_lists = max(16, min(int(math.isqrt(max(n_corpus, 1))), max_train // 39))
     train = corpus.select(id_col, vec_col).orderBy(id_col).limit(max_train).toPandas()
     cn = train_ivf_centroids(
         np.stack(train[vec_col].to_numpy()), n_lists, seed
@@ -396,33 +437,23 @@ def ivf_topk(
         T.StructField("cosine", T.DoubleType()),
     ])
 
+    # captured at plan-build time so monkeypatched test values ship in
+    # the closure (workers re-import the module and would miss a patch)
+    q_chunk, c_chunk = _Q_CHUNK, _C_CHUNK
+
     def rerank(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
         if qpdf.empty or cpdf.empty:
             return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []}).astype(
                 {"query_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
             )
-        qids = qpdf["id"].to_numpy(np.int64)
-        cids = cpdf["id"].to_numpy(np.int64)
-        qm = np.stack(qpdf["vec"].to_numpy())
-        cm = np.stack(cpdf["vec"].to_numpy())
-        sims = qm @ cm.T  # vectors pre-normalized by assign(); dot == cosine
-        out = {"query_id": [], "neighbor_id": [], "cosine": []}
-        for i, qid in enumerate(qids):
-            s = sims[i]
-            # full lexsort, not argpartition: exact (sim DESC, id ASC)
-            # ordering under ties — identical vectors DO tie exactly
-            order = np.lexsort((cids, -s))
-            taken = 0
-            for j in order:
-                if exclude_self and cids[j] == qid:
-                    continue
-                out["query_id"].append(int(qid))
-                out["neighbor_id"].append(int(cids[j]))
-                out["cosine"].append(float(s[j]))
-                taken += 1
-                if taken >= k:
-                    break
-        return pd.DataFrame(out)
+        # vectors pre-normalized by assign(); dot == cosine
+        return pd.DataFrame(_block_topk(
+            qpdf["id"].to_numpy(np.int64),
+            np.stack(qpdf["vec"].to_numpy()),
+            cpdf["id"].to_numpy(np.int64),
+            np.stack(cpdf["vec"].to_numpy()),
+            k, exclude_self, q_chunk, c_chunk,
+        ))
 
     cand = (
         qb.groupBy("list_id")

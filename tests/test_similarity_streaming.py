@@ -295,8 +295,11 @@ def _plan_str(df):
 
 
 def test_lsh_topk_plan_shape(spark, embeddings):
-    """Pin the ANN bucket join as an equi-join on (table, bucket) — and,
-    with dim supplied, no driver probe job is needed to build the plan."""
+    """Pin the round-6/7 ANN shape: a (table, bucket) COGROUP scores each
+    bucket block (FlatMapCoGroupsInPandas), and since the round-7 score
+    unification there is NO vector join-back — the in-bucket score is the
+    returned cosine, so no join operator of any kind should appear. With
+    dim supplied, no driver probe job is needed to build the plan."""
     from pyspark.sql import functions as F
 
     dim = embeddings.select(F.size("embedding")).first()[0]
@@ -304,7 +307,8 @@ def test_lsh_topk_plan_shape(spark, embeddings):
     plan = _plan_str(res)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert "Join" not in plan  # join-back dropped in round 7
 
 
 def test_ivf_topk_plan_shape(spark, embeddings):
@@ -318,3 +322,73 @@ def test_ivf_topk_plan_shape(spark, embeddings):
     # inverted list, per-list top-k), not a candidate equi-join carrying
     # both vectors per pair — the join shape moved ~200 GB at sf1.0
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_block_topk_chunked_merge_is_exact(spark, embeddings, monkeypatch):
+    """Force the bounded-memory merge path (the round-7 OOM fix): with
+    _Q_CHUNK/_C_CHUNK shrunk to single digits every cogroup task must
+    run dozens of merge rounds, and the (ids, ranks) must be IDENTICAL
+    to the default wide-matmul blocks — the running top-k merge is
+    exact, not approximate. Cosines compare at 1e-12: chunked BLAS may
+    differ in the last ulp."""
+    from ferrobus_spark.operators import similarity as sim
+
+    base_lsh = lsh_topk(spark, embeddings, embeddings, k=3, dim=64).toPandas()
+    base_ivf = sim.ivf_topk(
+        spark, embeddings, embeddings, k=3, n_lists=4, n_probe=4
+    ).toPandas()
+
+    monkeypatch.setattr(sim, "_Q_CHUNK", 7)
+    monkeypatch.setattr(sim, "_C_CHUNK", 11)
+    tiny_lsh = sim.lsh_topk(spark, embeddings, embeddings, k=3, dim=64).toPandas()
+    tiny_ivf = sim.ivf_topk(
+        spark, embeddings, embeddings, k=3, n_lists=4, n_probe=4
+    ).toPandas()
+
+    for base, tiny in ((base_lsh, tiny_lsh), (base_ivf, tiny_ivf)):
+        b = base.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        t = tiny.sort_values(["query_id", "rank"]).reset_index(drop=True)
+        assert b[["query_id", "neighbor_id", "rank"]].equals(
+            t[["query_id", "neighbor_id", "rank"]]
+        )
+        assert (b["cosine"] - t["cosine"]).abs().max() < 1e-12
+
+
+def test_ivf_forced_giant_list_matches_exact(spark, embeddings, monkeypatch):
+    """The advisor's 100 TB hazard in miniature: n_lists=2 makes each
+    inverted list ≈ corpus/2 — far wider than the (tiny, patched) chunk
+    bounds — and n_probe=2 probes everything, so IVF must equal the
+    brute-force exact top-k while never allocating a sims block larger
+    than q_chunk × c_chunk."""
+    from ferrobus_spark.operators import similarity as sim
+
+    monkeypatch.setattr(sim, "_Q_CHUNK", 13)
+    monkeypatch.setattr(sim, "_C_CHUNK", 17)
+    got = (
+        sim.ivf_topk(spark, embeddings, embeddings, k=3, n_lists=2, n_probe=2)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    exact = (
+        brute_force_topk(spark, embeddings, embeddings, k=3)
+        .toPandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got[["query_id", "neighbor_id", "rank"]].equals(
+        exact[["query_id", "neighbor_id", "rank"]]
+    )
+
+
+def test_ivf_auto_n_lists(spark, embeddings):
+    """n_lists=None sizes the quantizer from a corpus count (≈√N,
+    clamped to [16, max_train//39]) instead of a fixed 16 — the
+    brute_force_topk overflow fallback exercises exactly this default."""
+    from ferrobus_spark.operators.similarity import ivf_topk
+
+    n = embeddings.count()
+    res = ivf_topk(spark, embeddings, embeddings, k=1, n_probe=4).toPandas()
+    # every query answered, no empties from over-partitioned lists
+    assert res["query_id"].nunique() == n
+    assert (res["rank"] == 1).all()
