@@ -1714,11 +1714,13 @@ _MODEL_CACHE: dict[int, object] = {}
 def _transit_ctx(spark):
     key = id(spark)
     if key not in _MODEL_CACHE:
-        from ferrobus_spark.model.build import build_model
+        # parquet-cached across processes (round 7): sweep children and
+        # fresh sessions reload the built model instead of paying the
+        # ~35 s many-small-jobs build per process
+        from ferrobus_spark.model.cache import load_or_build_model
         from ferrobus_spark.routing.timetable import build_timetable_csr
-        from ferrobus_spark.sources.transit import MAX_TRANSFER_TIME, QUERY_DATE, to_spark
 
-        model = build_model(spark, to_spark(spark), QUERY_DATE, MAX_TRANSFER_TIME)
+        model = load_or_build_model(spark)
         tt = build_timetable_csr(model.tables)
         _MODEL_CACHE[key] = (model, tt)
     return _MODEL_CACHE[key]
@@ -1731,16 +1733,10 @@ def _transit_points(spark):
     """Shared TransitPoint tables (checkpointed) across transit queries."""
     key = id(spark)
     if key not in _POINTS_CACHE:
-        from ferrobus_spark.routing.points import build_point_tables
-        from ferrobus_spark.sources.transit import query_points
+        from ferrobus_spark.model.cache import load_or_build_points
 
         model, _tt = _transit_ctx(spark)
-        pts = build_point_tables(
-            spark, spark.createDataFrame(query_points()),
-            model["street_nodes"], model["node_to_stop"], model.csr,
-        )
-        pts = {k: v.localCheckpoint() for k, v in pts.items()}
-        _POINTS_CACHE[key] = pts
+        _POINTS_CACHE[key] = load_or_build_points(spark, model)
     return _POINTS_CACHE[key]
 
 

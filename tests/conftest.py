@@ -33,10 +33,10 @@ def oracle_model():
 
 @pytest.fixture(scope="session")
 def spark_model(spark):
-    from ferrobus_spark.model.build import build_model
-    from ferrobus_spark.sources.transit import MAX_TRANSFER_TIME, QUERY_DATE, to_spark
+    # parquet-cached across sessions; first run builds and writes it
+    from ferrobus_spark.model.cache import load_or_build_model
 
-    return build_model(spark, to_spark(spark), QUERY_DATE, MAX_TRANSFER_TIME)
+    return load_or_build_model(spark)
 
 
 @pytest.fixture(scope="session")
