@@ -90,3 +90,46 @@ def test_checkpoint_resume(spark, sf_dir, tmp_path):
         lineage = json.load(f)
     assert lineage["upstreams"] == ["a"]
     assert sum(int(v) for v in lineage["partition_rows"].values()) == 100
+
+
+def test_checkpoint_resume_after_midwrite_crash(spark, tmp_path):
+    """Chaos case (round-7 verdict item 6): a stage killed MID-WRITE
+    leaves exactly 'data dir present, metrics absent' — write_stage
+    writes _METRICS.json strictly after the data write returns. Resume
+    must treat the stage as incomplete, never read the partial data,
+    and produce the same final artifact as an uninterrupted run."""
+    import shutil
+
+    def s_a(spark_, env):
+        return spark_.range(50).withColumnRenamed("id", "k")
+
+    def s_b(spark_, env):
+        return env["a"].withColumn("v", F.col("k") * 3)
+
+    stages = [("a", s_a, []), ("b", s_b, ["a"])]
+
+    clean_root = str(tmp_path / "clean")
+    want = sorted(
+        run_pipeline(spark, clean_root, stages)["b"].collect(),
+        key=lambda r: r.k,
+    )
+
+    # crashed run: stage a completed, stage b died mid-write — its data
+    # dir holds garbage (not even parquet) and no metrics file exists
+    crash_root = str(tmp_path / "crash")
+    env = run_pipeline(spark, crash_root, [stages[0]])
+    assert env["a"].count() == 50
+    bdir = os.path.join(crash_root, "b", "data")
+    os.makedirs(bdir)
+    with open(os.path.join(bdir, "part-00000.parquet"), "w") as f:
+        f.write("TRUNCATED GARBAGE FROM A KILLED WRITER")
+
+    got = sorted(
+        run_pipeline(spark, crash_root, stages)["b"].collect(),
+        key=lambda r: r.k,
+    )
+    assert got == want
+    # and the recovered checkpoint is now complete + consistent
+    metrics = {m["stage"]: m for m in pipeline_metrics(crash_root)}
+    assert metrics["b"]["rows"] == 50
+    shutil.rmtree(crash_root)

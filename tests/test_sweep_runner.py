@@ -1,0 +1,65 @@
+"""Chaos test for the resumable sweep runner (round-7 verdict item 6):
+SIGKILL the parent while a child query runs, then resume — the ledger
+must skip banked passes, retry the interrupted name, and converge to
+one pass row per query, identical to an uninterrupted sweep.
+"""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RUNNER = os.path.join(REPO, "scripts", "sweep_contract.py")
+SF = "/root/testdata/sf0.001"
+NAMES = ["tile_assign", "lang_histogram"]
+
+
+def _ledger_rows(path):
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        return [json.loads(line) for line in f]
+
+
+def test_sweep_resumes_after_parent_kill(tmp_path):
+    ledger = str(tmp_path / "ledger.jsonl")
+    args = [sys.executable, RUNNER, "--sf-dir", SF, "--ledger", ledger,
+            "--only", ",".join(NAMES), "--timeout", "600"]
+
+    # phase 1: kill the parent (and its child process group) as soon as
+    # the FIRST row lands in the ledger — i.e. mid-second-query
+    p = subprocess.Popen(args, cwd=REPO, start_new_session=True,
+                         stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    deadline = time.time() + 300
+    while time.time() < deadline and len(_ledger_rows(ledger)) < 1:
+        if p.poll() is not None:
+            break  # finished before we could kill it — resume is a no-op
+        time.sleep(0.5)
+    if p.poll() is None:
+        os.killpg(p.pid, signal.SIGKILL)
+        p.wait()
+
+    rows1 = _ledger_rows(ledger)
+    assert len(rows1) >= 1, "no row banked before the kill"
+    banked = {r["name"] for r in rows1 if r["status"] == "pass"}
+
+    # phase 2: rerun the same command; it must skip banked passes and
+    # finish the rest
+    out = subprocess.run(args, cwd=REPO, capture_output=True, text=True,
+                         timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    for name in banked:
+        assert f"skip {name} (ledger pass)" in out.stdout
+
+    rows = _ledger_rows(ledger)
+    passes = {}
+    for r in rows:
+        if r["status"] == "pass":
+            passes.setdefault(r["name"], 0)
+            passes[r["name"]] += 1
+    assert set(passes) == set(NAMES)
+    # one pass row per query — the resume never re-runs a banked pass
+    assert all(v == 1 for v in passes.values()), passes
