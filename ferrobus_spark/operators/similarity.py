@@ -100,6 +100,47 @@ def _block_topk(
     return out
 
 
+def _sub_split(
+    qdf: DataFrame, cdf: DataFrame, keys: list[str], max_rows: int
+) -> tuple[DataFrame, DataFrame, list[str]]:
+    """Bound cogroup GROUP size, not just the matmul inside it.
+
+    ``applyInPandas`` materializes each whole (keys) group in one Python
+    task before the kernel runs, so a mega-bucket/mega-list is an
+    executor OOM even with chunked scoring — the same hazard class the
+    dedup family's ``_hot_bucket_split`` guards. Corpus rows in groups
+    over ``max_rows`` are salted by id-hash into ceil(size/max_rows)
+    sub-groups; queries replicate to every sub-group of their group.
+    Exact: a group's top-k is contained in the union of its sub-groups'
+    top-ks (top-k(A ∪ B) ⊆ top-k(A) ∪ top-k(B)), and the caller's
+    (query, neighbor) dedup + global rank window finish the merge.
+    Queries in corpus-empty groups drop at the inner join — they would
+    have produced nothing anyway. Cost when no group is hot: one count
+    aggregation + two equi-joins on the (already shuffled) group keys,
+    every ``_nsub`` = 1.
+    """
+    sizes = (
+        cdf.groupBy(*keys)
+        .agg(F.count("*").alias("_gsz"))
+        .withColumn(
+            "_nsub",
+            F.greatest(F.lit(1), F.ceil(F.col("_gsz") / F.lit(max_rows))).cast("int"),
+        )
+        .drop("_gsz")
+    )
+    cdf = (
+        cdf.join(sizes, keys)
+        .withColumn("sub", F.pmod(F.xxhash64(F.col("id")), F.col("_nsub")).cast("int"))
+        .drop("_nsub")
+    )
+    qdf = (
+        qdf.join(sizes, keys)
+        .withColumn("sub", F.explode(F.sequence(F.lit(0), F.col("_nsub") - 1)))
+        .drop("_nsub")
+    )
+    return qdf, cdf, [*keys, "sub"]
+
+
 def brute_force_topk(
     spark: SparkSession,
     queries: DataFrame,
@@ -230,13 +271,20 @@ def lsh_topk(
     bits_per_table: int = 8,
     exclude_self: bool = True,
     dim: int | None = None,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane bucket join.
 
     Pass ``dim`` (the embedding width) to avoid a driver ``first()``
     probe job in this hot path; ``None`` falls back to probing for
     ad-hoc use (same contract as ``n_hashes`` in
-    :func:`~ferrobus_spark.operators.dedup.minhash_lsh_pairs`)."""
+    :func:`~ferrobus_spark.operators.dedup.minhash_lsh_pairs`).
+
+    ``max_bucket_size`` bounds the corpus rows one cogroup task can
+    receive (see :func:`_sub_split`) — a template-heavy corpus can put
+    millions of near-identical pages in ONE (table, bucket) group,
+    which ``applyInPandas`` would otherwise materialize whole in a
+    single Python worker. ``None`` disables the guard (oracle twins)."""
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_tables * bits_per_table)
@@ -288,9 +336,12 @@ def lsh_topk(
             k, exclude_self, q_chunk, c_chunk,
         ))
 
+    gkeys = ["table", "bucket"]
+    if max_bucket_size is not None:
+        qb, cb, gkeys = _sub_split(qb, cb, gkeys, max_bucket_size)
     cand = (
-        qb.groupBy("table", "bucket")
-        .cogroup(cb.groupBy("table", "bucket"))
+        qb.groupBy(*gkeys)
+        .cogroup(cb.groupBy(*gkeys))
         .applyInPandas(lambda qp, cp: bucket_topk(qp, cp), pre_t)
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("cosine").alias("cosine"))
@@ -347,6 +398,7 @@ def ivf_topk(
     exclude_self: bool = True,
     seed: int = 20240503,
     max_train: int = 100_000,
+    max_list_size: int | None = 200_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer →
     corpus partitioned by nearest centroid (the inverted lists) → each
@@ -385,6 +437,10 @@ def ivf_topk(
       task's sims allocation is ~128 MB no matter how large its list —
       the former one-shot ``qm @ cm.T`` held (queries_probing_list ×
       list_size) doubles, an executor OOM at 100 TB list widths.
+    * ``max_list_size`` bounds the GROUP a cogroup task materializes
+      (:func:`_sub_split`): even a skewed quantizer or an explicit
+      small ``n_lists`` cannot hand one Python worker more than
+      ``max_list_size`` corpus vectors.
     """
     if n_lists is None:
         # parquet-footer-cheap count; √N per FAISS practice. The clamp
@@ -455,9 +511,15 @@ def ivf_topk(
             k, exclude_self, q_chunk, c_chunk,
         ))
 
+    # bound the per-task group width too: auto-sized n_lists targets
+    # √N-wide lists, but a skewed quantizer (or an explicit small
+    # n_lists) can still concentrate the corpus into one list
+    gkeys = ["list_id"]
+    if max_list_size is not None:
+        qb, cb, gkeys = _sub_split(qb, cb, gkeys, max_list_size)
     cand = (
-        qb.groupBy("list_id")
-        .cogroup(cb.groupBy("list_id"))
+        qb.groupBy(*gkeys)
+        .cogroup(cb.groupBy(*gkeys))
         .applyInPandas(lambda qp, cp: rerank(qp, cp), rerank_t)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")

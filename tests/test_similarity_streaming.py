@@ -295,11 +295,12 @@ def _plan_str(df):
 
 
 def test_lsh_topk_plan_shape(spark, embeddings):
-    """Pin the round-6/7 ANN shape: a (table, bucket) COGROUP scores each
-    bucket block (FlatMapCoGroupsInPandas), and since the round-7 score
-    unification there is NO vector join-back — the in-bucket score is the
-    returned cosine, so no join operator of any kind should appear. With
-    dim supplied, no driver probe job is needed to build the plan."""
+    """Pin the round-6/7 ANN shape: a (table, bucket[, sub]) COGROUP
+    scores each bucket block (FlatMapCoGroupsInPandas); since the
+    round-7 score unification there is NO per-candidate vector
+    join-back — the only joins left are the id-light hot-bucket size
+    equi-joins from _sub_split. With dim supplied, no driver probe job
+    is needed to build the plan."""
     from pyspark.sql import functions as F
 
     dim = embeddings.select(F.size("embedding")).first()[0]
@@ -308,7 +309,11 @@ def test_lsh_topk_plan_shape(spark, embeddings):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "FlatMapCoGroupsInPandas" in plan
-    assert "Join" not in plan  # join-back dropped in round 7
+    # with the guard disabled, no join operator of any kind remains
+    plain = _plan_str(lsh_topk(
+        spark, embeddings, embeddings, k=3, dim=dim, max_bucket_size=None
+    ))
+    assert "Join" not in plain
 
 
 def test_ivf_topk_plan_shape(spark, embeddings):
@@ -379,6 +384,31 @@ def test_ivf_forced_giant_list_matches_exact(spark, embeddings, monkeypatch):
     assert got[["query_id", "neighbor_id", "rank"]].equals(
         exact[["query_id", "neighbor_id", "rank"]]
     )
+
+
+def test_sub_split_forced_equivalence(spark, embeddings):
+    """Force _sub_split to shatter every bucket/list (caps of 3 and 5
+    rows) — the salted sub-group union must reproduce the unguarded
+    results exactly on (ids, ranks): top-k(group) ⊆ ∪ top-k(sub)."""
+    from ferrobus_spark.operators.similarity import ivf_topk
+
+    def key(df):
+        return (
+            df.sort_values(["query_id", "rank"])
+            .reset_index(drop=True)[["query_id", "neighbor_id", "rank"]]
+        )
+
+    base = lsh_topk(spark, embeddings, embeddings, k=3, dim=64,
+                    max_bucket_size=None).toPandas()
+    split = lsh_topk(spark, embeddings, embeddings, k=3, dim=64,
+                     max_bucket_size=3).toPandas()
+    assert key(base).equals(key(split))
+
+    base_i = ivf_topk(spark, embeddings, embeddings, k=3, n_lists=4,
+                      n_probe=4, max_list_size=None).toPandas()
+    split_i = ivf_topk(spark, embeddings, embeddings, k=3, n_lists=4,
+                       n_probe=4, max_list_size=5).toPandas()
+    assert key(base_i).equals(key(split_i))
 
 
 def test_ivf_auto_n_lists(spark, embeddings):
