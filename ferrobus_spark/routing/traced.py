@@ -304,13 +304,24 @@ def detailed_journeys(
 
     def kernel(batches):
         tt_, csr_ = bc.value
+        # one bounded Dijkstra per ORIGIN, not per pair: the walking map
+        # depends only on (o_node, budget); pairs are partitioned by
+        # origin_id below so an origin's dests hit the same worker's memo
+        walk_memo: dict[tuple[int, int], dict[int, int]] = {}
         for pdf in batches:
             out = []
             for r in pdf.itertuples(index=False):
                 pid = int(r.pair_id)
-                dense = int(csr_.dense_of([int(r.o_node)])[0])
-                walk = bounded_dijkstra(csr_, dense, max_cost=int(r.o_mwt) - int(r.o_snap))
-                walking = {int(csr_.node_ids[k]): v for k, v in walk.items()}.get(int(r.d_node))
+                wkey = (int(r.o_node), int(r.o_mwt) - int(r.o_snap))
+                if wkey not in walk_memo:
+                    if len(walk_memo) >= 128:  # bound task memory
+                        walk_memo.clear()
+                    dense = int(csr_.dense_of([wkey[0]])[0])
+                    walk = bounded_dijkstra(csr_, dense, max_cost=wkey[1])
+                    walk_memo[wkey] = {
+                        int(csr_.node_ids[k]): v for k, v in walk.items()
+                    }
+                walking = walk_memo[wkey].get(int(r.d_node))
                 has = (r.a_stop is not None and not pd.isna(r.a_stop)
                        and r.e_stop is not None and not pd.isna(r.e_stop))
                 best_total = None
@@ -346,8 +357,11 @@ def detailed_journeys(
                                 j.arrival_time + e_secs, -1, -1))
             yield pd.DataFrame(out, columns=[f.name for f in LEG_SCHEMA.fields])
 
+    # hash-partition by origin so each origin's Dijkstra runs once per
+    # worker (memo above); origins are many, so no single-task skew
     parts = max(1, min(rows.count(), spark.sparkContext.defaultParallelism * 2))
-    return rows.repartition(parts).mapInPandas(kernel, LEG_SCHEMA)
+    rows = rows.repartition(parts, "origin_id").sortWithinPartitions("origin_id")
+    return rows.mapInPandas(kernel, LEG_SCHEMA)
 
 
 def legs_to_geojson_model(
