@@ -101,7 +101,11 @@ def _block_topk(
 
 
 def _sub_split(
-    qdf: DataFrame, cdf: DataFrame, keys: list[str], max_rows: int
+    qdf: DataFrame,
+    cdf: DataFrame,
+    keys: list[str],
+    max_rows: int,
+    sizes_from: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, list[str]]:
     """Bound cogroup GROUP size, not just the matmul inside it.
 
@@ -116,11 +120,15 @@ def _sub_split(
     (query, neighbor) dedup + global rank window finish the merge.
     Queries in corpus-empty groups drop at the inner join — they would
     have produced nothing anyway. Cost when no group is hot: one count
-    aggregation + two equi-joins on the (already shuffled) group keys,
-    every ``_nsub`` = 1.
+    aggregation + two broadcast equi-joins (the sizes table is at most
+    one row per group key), every ``_nsub`` = 1. Pass ``sizes_from``
+    when a VECTOR-FREE restatement of cdf's group keys exists — the
+    counting pass then avoids re-serializing the wide vec column
+    through Arrow just to count rows (20× narrower at dim=64).
     """
     sizes = (
-        cdf.groupBy(*keys)
+        (sizes_from if sizes_from is not None else cdf)
+        .groupBy(*keys)
         .agg(F.count("*").alias("_gsz"))
         .withColumn(
             "_nsub",
@@ -338,7 +346,10 @@ def lsh_topk(
 
     gkeys = ["table", "bucket"]
     if max_bucket_size is not None:
-        qb, cb, gkeys = _sub_split(qb, cb, gkeys, max_bucket_size)
+        cb_ids = _sign_buckets(corpus, planes, id_col, vec_col, n_tables,
+                               bits_per_table, spark, include_vec=False)
+        qb, cb, gkeys = _sub_split(qb, cb, gkeys, max_bucket_size,
+                                   sizes_from=cb_ids)
     cand = (
         qb.groupBy(*gkeys)
         .cogroup(cb.groupBy(*gkeys))
@@ -453,12 +464,12 @@ def ivf_topk(
     )
     bc = spark.sparkContext.broadcast(cn)
 
-    def assign(n_nearest: int):
-        out_t = T.StructType([
-            T.StructField("id", T.LongType()),
-            T.StructField("vec", T.ArrayType(T.DoubleType())),
-            T.StructField("list_id", T.IntegerType()),
-        ])
+    def assign(n_nearest: int, include_vec: bool = True):
+        fields = [T.StructField("id", T.LongType())]
+        if include_vec:
+            fields.append(T.StructField("vec", T.ArrayType(T.DoubleType())))
+        fields.append(T.StructField("list_id", T.IntegerType()))
+        out_t = T.StructType(fields)
 
         def kernel(batches):
             cents = bc.value
@@ -469,12 +480,15 @@ def ivf_topk(
                 # stable sort: similarity ties break by centroid index,
                 # matching the SQL twin's (sim DESC, cid) window order
                 order = np.argsort(-sims, axis=1, kind="stable")[:, :n_nearest]
-                rows = {"id": [], "vec": [], "list_id": []}
+                rows = {"id": [], "vec": [], "list_id": []} if include_vec else {
+                    "id": [], "list_id": []
+                }
                 for i in range(len(ids)):
-                    v = mat[i].tolist()
+                    v = mat[i].tolist() if include_vec else None
                     for c in order[i]:
                         rows["id"].append(int(ids[i]))
-                        rows["vec"].append(v)
+                        if include_vec:
+                            rows["vec"].append(v)
                         rows["list_id"].append(int(c))
                 yield pd.DataFrame(rows)
 
@@ -516,7 +530,10 @@ def ivf_topk(
     # n_lists) can still concentrate the corpus into one list
     gkeys = ["list_id"]
     if max_list_size is not None:
-        qb, cb, gkeys = _sub_split(qb, cb, gkeys, max_list_size)
+        sk, st_ = assign(1, include_vec=False)  # vec-free counting pass
+        cb_ids = spread_for_kernel(corpus.select(id_col, vec_col)).mapInPandas(sk, st_)
+        qb, cb, gkeys = _sub_split(qb, cb, gkeys, max_list_size,
+                                   sizes_from=cb_ids)
     cand = (
         qb.groupBy(*gkeys)
         .cogroup(cb.groupBy(*gkeys))
