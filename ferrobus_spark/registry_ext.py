@@ -993,9 +993,14 @@ def q_curation_curated(spark, sf_dir):
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
 
-@register(
-    "knn_embeddings_bruteforce",
-    """
+def _knn_bf_oracle(chunk: str = "") -> str:
+    """Exact-kNN DuckDB twin; ``chunk`` optionally injects a query-side
+    predicate (``AND q.vec_id % n = i``) so the sweep can run the
+    quadratic pair materialization in bounded slices — ROW_NUMBER
+    partitions by query_id, so a union over a query-id partition of the
+    chunks is row-identical to the unchunked SQL (each query's full
+    neighbor set lives in exactly one chunk)."""
+    return f"""
     -- sims is materialized NARROW (24 B/row) before the window: with the
     -- cosine inlined in the window's ORDER BY, DuckDB carries both
     -- embedding lists in the sort payload (~1 KB/row — 90+ GB at the
@@ -1003,7 +1008,7 @@ def q_curation_curated(spark, sf_dir):
     WITH sims AS MATERIALIZED (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              list_cosine_similarity(q.embedding, c.embedding) AS sim
-      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id {chunk}
     )
     SELECT query_id, neighbor_id, rank FROM (
       SELECT query_id, neighbor_id,
@@ -1012,8 +1017,10 @@ def q_curation_curated(spark, sf_dir):
              ) AS rank
       FROM sims
     ) WHERE rank <= 3
-    """,
-)
+    """
+
+
+@register("knn_embeddings_bruteforce", _knn_bf_oracle)
 def q_knn_embeddings_bruteforce(spark, sf_dir):
     """Exact cosine top-3 neighbors per embedding (ANN baseline)."""
     from ferrobus_spark.operators.similarity import brute_force_topk
@@ -1132,7 +1139,7 @@ def _ivf_centroids_twin(
     return C
 
 
-def _knn_ivf_oracle() -> str:
+def _knn_ivf_oracle(chunk: str = "") -> str:
     """DuckDB twin of ivf_topk: the coarse quantizer is recomputed by
     :func:`_ivf_centroids_twin` — an independent restatement that does
     NOT import the engine's trainer — on the same deterministic sample
@@ -1173,7 +1180,7 @@ def _knn_ivf_oracle() -> str:
     cand AS MATERIALIZED (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
       FROM q_probe q JOIN c_assign c ON c.cid = q.cid
-      WHERE q.vec_id <> c.vec_id
+      WHERE q.vec_id <> c.vec_id {chunk}
     )
     ,
     -- narrow (24 B/row) re-rank input: with the cosine inlined in the
@@ -1194,6 +1201,23 @@ def _knn_ivf_oracle() -> str:
       FROM rerank
     ) WHERE rank <= 3
     """
+
+
+# Sweep-only escape hatch for the two oracles whose pair materialization
+# is quadratic in corpus size (exact kNN: all pairs; IVF: all probed-list
+# pairs): generate the SAME SQL with a query-side modulo slice injected,
+# so scripts/sweep_contract.py can run them in bounded-memory pieces at
+# sf3.0+. The driver contract itself never sees these — oracle_sql()
+# still returns the unchunked strings. Chunk-union == unchunked is pinned
+# by tests/test_driver_contract.py::test_chunked_oracle_equivalence.
+ORACLE_CHUNKERS = {
+    "knn_embeddings_bruteforce": lambda n, i: _knn_bf_oracle(
+        f"AND q.vec_id % {n} = {i}"
+    ),
+    "knn_embeddings_ivf": lambda n, i: _knn_ivf_oracle(
+        f"AND q.vec_id % {n} = {i}"
+    ),
+}
 
 
 @register("knn_embeddings_ivf", _knn_ivf_oracle)

@@ -66,7 +66,7 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
-def run_one(name: str, sf_dir: str) -> dict:
+def run_one(name: str, sf_dir: str, oracle_chunks: int = 1) -> dict:
     # data-dependent oracles (the IVF quantizer twin) read the gate's sf
     # directory from this env var, not from the queries() argument — keep
     # both in lockstep or the oracle trains on the wrong corpus
@@ -98,7 +98,26 @@ def run_one(name: str, sf_dir: str) -> dict:
         if os.path.exists(path):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     t0 = time.time()
-    exp = _canon(con.sql(entry_mod.oracle_sql()[name]).df())
+    if oracle_chunks > 1:
+        # quadratic-twin escape hatch: the exact-kNN / IVF oracles
+        # materialize O(pairs) narrow rows; at sf3.0 that is ~9x the
+        # sf1.0 volume and exceeds RAM + spill disk in one shot. The
+        # chunkers inject `AND q.vec_id % n = i` on the QUERY side only
+        # — ROW_NUMBER partitions by query_id, so the concatenation is
+        # row-identical to the unchunked SQL (equivalence pinned by
+        # tests/test_driver_contract.py::test_chunked_oracle_equivalence).
+        import pandas as pd
+
+        from ferrobus_spark.registry_ext import ORACLE_CHUNKERS
+
+        parts = [
+            con.sql(ORACLE_CHUNKERS[name](oracle_chunks, i)).df()
+            for i in range(oracle_chunks)
+        ]
+        exp = _canon(pd.concat(parts, ignore_index=True))
+        rec["oracle_chunks"] = oracle_chunks
+    else:
+        exp = _canon(con.sql(entry_mod.oracle_sql()[name]).df())
     rec["oracle_s"] = round(time.time() - t0, 2)
 
     errs = []
@@ -135,12 +154,24 @@ def main() -> None:
     ap.add_argument("--one", default=None)
     ap.add_argument("--timeout", type=int, default=7200)
     ap.add_argument("--only", default=None, help="comma-separated name filter")
+    ap.add_argument(
+        "--oracle-chunks", default=None,
+        help="child: integer N; parent: per-name spec 'name=N,name=N' — "
+        "run the (quadratic) oracle in N query-id modulo slices",
+    )
     args = ap.parse_args()
 
     if args.one:
-        rec = run_one(args.one, args.sf_dir)
+        n_chunks = int(args.oracle_chunks) if args.oracle_chunks else 1
+        rec = run_one(args.one, args.sf_dir, oracle_chunks=n_chunks)
         print("SWEEPREC " + json.dumps(rec), flush=True)
         return
+
+    chunk_spec: dict[str, int] = {}
+    if args.oracle_chunks:
+        for kv in args.oracle_chunks.split(","):
+            k, _, v = kv.partition("=")
+            chunk_spec[k.strip()] = int(v)
 
     import __spark_entry__ as entry_mod
 
@@ -165,9 +196,12 @@ def main() -> None:
         print(f"run {name} ...", flush=True)
         t0 = time.time()
         try:
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--one", name, "--sf-dir", args.sf_dir]
+            if chunk_spec.get(name, 1) > 1:
+                cmd += ["--oracle-chunks", str(chunk_spec[name])]
             p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--one", name, "--sf-dir", args.sf_dir],
+                cmd,
                 capture_output=True, text=True, timeout=args.timeout, cwd=REPO,
             )
             rec = None

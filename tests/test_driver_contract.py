@@ -73,6 +73,23 @@ def test_query_matches_oracle(spark, con, name):
         assert not bad, f"col {c}: first mismatches {bad[:5]}"
 
 
+@pytest.mark.parametrize("name", ["knn_embeddings_bruteforce", "knn_embeddings_ivf"])
+def test_chunked_oracle_equivalence(con, name):
+    """The sweep's bounded-memory escape hatch for the quadratic ANN
+    oracles (scripts/sweep_contract.py --oracle-chunks) must be
+    row-identical to the unchunked SQL: chunking filters `q.vec_id % n`
+    on the QUERY side only, and ROW_NUMBER partitions by query_id, so
+    each query's whole neighbor set lives in exactly one chunk. No Spark
+    involved — this pins DuckDB-vs-DuckDB."""
+    from ferrobus_spark.registry_ext import ORACLE_CHUNKERS
+
+    plain = _canon(con.sql(entry_mod.oracle_sql()[name]).df())
+    n = 4
+    parts = [con.sql(ORACLE_CHUNKERS[name](n, i)).df() for i in range(n)]
+    chunked = _canon(pd.concat(parts, ignore_index=True))
+    pd.testing.assert_frame_equal(plain, chunked)
+
+
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
