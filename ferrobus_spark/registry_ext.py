@@ -1001,13 +1001,20 @@ def _knn_bf_oracle(chunk: str = "") -> str:
     chunks is row-identical to the unchunked SQL (each query's full
     neighbor set lives in exactly one chunk)."""
     return f"""
+    -- CAST to DOUBLE[] everywhere embeddings are scored: on the raw
+    -- FLOAT[] column DuckDB's list_cosine_similarity computes at float32,
+    -- and at sf3.0 one rank-3 boundary pair 5.5e-9 apart in float64
+    -- ordered INVERSELY to the engine's float64 kernel (q=26199:
+    -- oracle picked 58462 over the true 30619; found round 7). The
+    -- engine computes float64 throughout, so the twins must too.
     -- sims is materialized NARROW (24 B/row) before the window: with the
     -- cosine inlined in the window's ORDER BY, DuckDB carries both
     -- embedding lists in the sort payload (~1 KB/row — 90+ GB at the
     -- sf1.0 sweep's 400M pairs, killing the host; found round 6).
     WITH sims AS MATERIALIZED (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             list_cosine_similarity(q.embedding, c.embedding) AS sim
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS sim
       FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id {chunk}
     )
     SELECT query_id, neighbor_id, rank FROM (
@@ -1068,7 +1075,8 @@ def _knn_lsh_oracle() -> str:
     -- brute-force/IVF twins, round 6)
     rerank AS MATERIALIZED (
       SELECT cand.query_id, cand.neighbor_id,
-             list_cosine_similarity(q.embedding, c.embedding) AS sim
+             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                    CAST(c.embedding AS DOUBLE[])) AS sim
       FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
                 JOIN embeddings c ON c.vec_id = cand.neighbor_id
     )
@@ -1189,7 +1197,8 @@ def _knn_ivf_oracle(chunk: str = "") -> str:
     -- as knn_embeddings_bruteforce, round 6
     rerank AS MATERIALIZED (
       SELECT cand.query_id, cand.neighbor_id,
-             list_cosine_similarity(qe.embedding, ce.embedding) AS sim
+             list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
+                                    CAST(ce.embedding AS DOUBLE[])) AS sim
       FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
                 JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
     )
@@ -1287,7 +1296,8 @@ def q_knn_ivf_planted(spark, sf_dir):
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.95
     """,
 )
 def q_embedding_neardup(spark, sf_dir):
@@ -1312,7 +1322,8 @@ def q_embedding_neardup(spark, sf_dir):
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
     FROM uni a JOIN uni b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.95
     """,
 )
 def q_embedding_neardup_planted(spark, sf_dir):
@@ -1343,7 +1354,8 @@ def q_embedding_neardup_planted(spark, sf_dir):
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
     FROM uni a JOIN uni b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                 CAST(b.embedding AS DOUBLE[])) >= 0.95
       AND b.vec_id >= 1000000
     """,
 )
