@@ -422,3 +422,75 @@ def test_ivf_auto_n_lists(spark, embeddings):
     # every query answered, no empties from over-partitioned lists
     assert res["query_id"].nunique() == n
     assert (res["rank"] == 1).all()
+
+
+def test_float64_scoring_breaks_float32_ties(spark, tmp_path):
+    """Regression pin for the sf3.0 sweep finding (round 7): two corpus
+    vectors one float32 ulp apart can be EXACTLY tied under float32
+    cosine arithmetic (DuckDB's list_cosine_similarity on a raw
+    FLOAT[] column) while float64 orders them — at sf3.0 one such
+    rank-boundary pair (query 26199) made the float32 twin pick the
+    wrong neighbor. The engine scores in float64 throughout
+    (brute_force_topk casts via .astype(np.float64)); this test pins
+    that, and pins the oracle convention that every twin scoring raw
+    embeddings must CAST to DOUBLE[] first (registry_ext._knn_bf_oracle
+    and siblings)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(1234)
+    dim = 16
+    q = rng.standard_normal(dim).astype(np.float32)
+    a = rng.standard_normal(dim).astype(np.float32)
+    b = a.copy()
+    b[0] = np.nextafter(a[0], np.float32(np.sign(a[0]) * 1e9),
+                        dtype=np.float32)
+    # far-away filler so k=2 ranks are decided purely by the tie pair
+    filler = -q + rng.standard_normal(dim).astype(np.float32) * 0.01
+
+    def cos64(v):
+        q64, v64 = q.astype(np.float64), v.astype(np.float64)
+        return float(q64 @ v64 / (np.linalg.norm(q64) * np.linalg.norm(v64)))
+
+    # the construction really is a float64-orderable sub-float32 tie
+    assert cos64(a) != cos64(b)
+    assert abs(cos64(a) - cos64(b)) < 1e-7
+    winner = 1 if cos64(a) > cos64(b) else 2
+
+    path = str(tmp_path / "tie.parquet")
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array(
+            [q.tolist(), a.tolist(), b.tolist(), filler.tolist()],
+            pa.list_(pa.float32())),
+    }), path)
+
+    # engine: float64 ordering, rank 1 = the float64 winner
+    df = spark.read.parquet(path)
+    res = brute_force_topk(
+        spark, df.filter(F.col("vec_id") == 0), df, k=2,
+        max_corpus_rows=None,
+    ).toPandas().sort_values("rank")
+    assert res["neighbor_id"].tolist()[:2] == [winner, 3 - winner]
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{path}')")
+    # raw FLOAT[] scoring is degenerate: exactly tied, cannot order
+    raw = dict(con.execute("""
+        SELECT c.vec_id, list_cosine_similarity(q.embedding, c.embedding)
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id = 0 AND c.vec_id IN (1, 2)
+    """).fetchall())
+    assert raw[1] == raw[2]
+    # the oracle convention (CAST to DOUBLE[]) agrees with the engine
+    cast = dict(con.execute("""
+        SELECT c.vec_id,
+               list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                      CAST(c.embedding AS DOUBLE[]))
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id = 0 AND c.vec_id IN (1, 2)
+    """).fetchall())
+    assert (cast[1] > cast[2]) == (winner == 1)
+    con.close()
