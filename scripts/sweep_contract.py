@@ -167,6 +167,24 @@ def main() -> None:
         print("SWEEPREC " + json.dumps(rec), flush=True)
         return
 
+    # one parent per ledger: a crashed session's surviving parent and a
+    # resumed one appending concurrently duplicate minutes-scale oracle
+    # rows (hit 2026-08-18 during the sf3.0 sweep). flock is released
+    # by the kernel on ANY parent death, so a SIGKILL never leaves a
+    # stale lock and the chaos-test resume path is unaffected.
+    if args.ledger:
+        import fcntl
+
+        lock_f = open(args.ledger + ".lock", "w")
+        try:
+            fcntl.flock(lock_f, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except BlockingIOError:
+            print(
+                f"another sweep parent holds {args.ledger}.lock — "
+                "wait for it or kill it before resuming", file=sys.stderr,
+            )
+            sys.exit(2)
+
     chunk_spec: dict[str, int] = {}
     if args.oracle_chunks:
         for kv in args.oracle_chunks.split(","):

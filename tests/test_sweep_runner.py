@@ -63,3 +63,31 @@ def test_sweep_resumes_after_parent_kill(tmp_path):
     assert set(passes) == set(NAMES)
     # one pass row per query — the resume never re-runs a banked pass
     assert all(v == 1 for v in passes.values()), passes
+
+
+def test_sweep_parent_ledger_lock(tmp_path):
+    """Two parents on one ledger duplicate minutes-scale oracle rows
+    (hit live during the round-7 sf3.0 sweep: a crashed session's
+    surviving parent kept appending while the resumed parent re-ran
+    the same heavy rows). The second parent must refuse to start while
+    the first holds the flock, and succeed after it exits — the lock
+    dies with the process, so a SIGKILL'd parent never blocks resume."""
+    import fcntl
+
+    ledger = str(tmp_path / "ledger.jsonl")
+    holder = open(ledger + ".lock", "w")
+    fcntl.flock(holder, fcntl.LOCK_EX | fcntl.LOCK_NB)
+
+    args = [sys.executable, RUNNER, "--sf-dir", SF, "--ledger", ledger,
+            "--only", NAMES[0], "--timeout", "600"]
+    out = subprocess.run(args, cwd=REPO, capture_output=True, text=True,
+                         timeout=120)
+    assert out.returncode == 2
+    assert "another sweep parent holds" in out.stderr
+
+    holder.close()  # releases the flock, as parent death would
+    out = subprocess.run(args, cwd=REPO, capture_output=True, text=True,
+                         timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    rows = _ledger_rows(ledger)
+    assert [r["name"] for r in rows if r["status"] == "pass"] == [NAMES[0]]
