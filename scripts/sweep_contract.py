@@ -66,6 +66,27 @@ def _values_equal(a, b) -> bool:
     return a == b
 
 
+PAIRS_PER_CHUNK = 400_000_000  # sf1.0-proven one-shot size (93 s, in-RAM)
+
+
+def auto_chunks(name: str, sf_dir: str) -> int:
+    """Chunk count for the quadratic ANN twins from corpus size alone:
+    each chunk materializes ~n_emb^2/chunks narrow pair rows, so cap a
+    chunk at the one-shot volume sf1.0 handled comfortably in RAM
+    (20k^2 = 400M pairs). sf3.0 (60k) -> 9 chunks; anything the
+    unchunked oracle already handled (<= sf1.0) -> 1."""
+    import math
+
+    from ferrobus_spark.registry_ext import ORACLE_CHUNKERS
+
+    if name not in ORACLE_CHUNKERS:
+        return 1
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    return max(1, math.ceil(n * n / PAIRS_PER_CHUNK))
+
+
 def run_one(name: str, sf_dir: str, oracle_chunks: int = 1) -> dict:
     # data-dependent oracles (the IVF quantizer twin) read the gate's sf
     # directory from this env var, not from the queries() argument — keep
@@ -162,7 +183,10 @@ def main() -> None:
     args = ap.parse_args()
 
     if args.one:
-        n_chunks = int(args.oracle_chunks) if args.oracle_chunks else 1
+        # no explicit spec -> size chunks from the corpus (auto_chunks
+        # returns 1 for non-quadratic twins and at <= sf1.0 scale)
+        n_chunks = (int(args.oracle_chunks) if args.oracle_chunks
+                    else auto_chunks(args.one, args.sf_dir))
         rec = run_one(args.one, args.sf_dir, oracle_chunks=n_chunks)
         print("SWEEPREC " + json.dumps(rec), flush=True)
         return

@@ -91,3 +91,30 @@ def test_sweep_parent_ledger_lock(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     rows = _ledger_rows(ledger)
     assert [r["name"] for r in rows if r["status"] == "pass"] == [NAMES[0]]
+
+
+def test_auto_chunks_sizing():
+    """Quadratic-twin chunk sizing from corpus row count alone: names
+    without a registered chunker are never chunked; <=sf1.0 volume
+    (20k^2 = 400M pairs, the proven one-shot size) stays unchunked;
+    sf3.0's 60k embeddings need ceil(3.6e9/4e8) = 9 slices."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import sweep_contract as sc
+
+    assert sc.auto_chunks("minhash_dup_pairs", SF) == 1  # no chunker
+    assert sc.auto_chunks("knn_embeddings_bruteforce", SF) == 1  # tiny sf
+
+    class _Meta:
+        def __init__(self, n):
+            self.num_rows = n
+
+    import pyarrow.parquet as pq
+    orig = pq.read_metadata
+    try:
+        pq.read_metadata = lambda p: _Meta(20000)
+        assert sc.auto_chunks("knn_embeddings_bruteforce", SF) == 1
+        pq.read_metadata = lambda p: _Meta(60000)
+        assert sc.auto_chunks("knn_embeddings_bruteforce", SF) == 9
+        assert sc.auto_chunks("knn_embeddings_ivf", SF) == 9
+    finally:
+        pq.read_metadata = orig
