@@ -70,7 +70,17 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="BENCH/scale_sf1_sf3_r7.json")
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--sfs", default=None,
+        help="comma-separated scale factors (e.g. '1.0,3.0,10.0'); each "
+        "must exist at .sfdata/sf{SF}. Default: 1.0,3.0",
+    )
     args = ap.parse_args()
+
+    sf_dirs = SF_DIRS
+    if args.sfs:
+        sf_dirs = {float(s): os.path.join(REPO, ".sfdata", f"sf{s}")
+                   for s in args.sfs.split(",")}
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
     import __spark_entry__ as entry_mod
@@ -80,25 +90,32 @@ def main() -> None:
     qs = dict(entry_mod.queries())
     qs.update(EXTRA)
 
-    out: dict = {"metric": "weak_scaling_sf1_to_sf3", "unit": "sec",
-                 "runs_per_point": args.runs, "queries": {}}
+    sfs = sorted(sf_dirs)
+    lo_sf, hi_sf = sfs[0], sfs[-1]
+    data_x = hi_sf / lo_sf
+    out: dict = {"metric": f"weak_scaling_sf{lo_sf}_to_sf{hi_sf}",
+                 "unit": "sec", "runs_per_point": args.runs, "queries": {}}
     for name in QUERIES:
         row: dict = {}
-        for sf, sf_dir in SF_DIRS.items():
+        for sf in sfs:
             times = []
             rows = None
             for _ in range(args.runs):
                 t0 = time.time()
-                rows = len(qs[name](spark, sf_dir).toPandas())
+                rows = len(qs[name](spark, sf_dirs[sf]).toPandas())
                 times.append(round(time.time() - t0, 2))
             row[f"sf{sf}"] = {"sec": min(times), "runs": times, "rows": rows}
-        r1, r3 = row["sf1.0"]["sec"], row["sf3.0"]["sec"]
-        row["time_ratio_3x_data"] = round(r3 / r1, 2) if r1 else None
+        r_lo, r_hi = row[f"sf{lo_sf}"]["sec"], row[f"sf{hi_sf}"]["sec"]
+        ratio_key = f"time_ratio_{data_x:g}x_data"
+        row[ratio_key] = round(r_hi / r_lo, 2) if r_lo else None
         out["queries"][name] = row
-        print(f"{name:32s} sf1={r1:>7.2f}s sf3={r3:>7.2f}s "
-              f"ratio={row['time_ratio_3x_data']}", flush=True)
+        print(f"{name:32s} " +
+              " ".join(f"sf{sf}={row[f'sf{sf}']['sec']:>7.2f}s"
+                       for sf in sfs) +
+              f" ratio={row[ratio_key]}", flush=True)
 
-    ratios = [q["time_ratio_3x_data"] for q in out["queries"].values()]
+    ratio_key = f"time_ratio_{data_x:g}x_data"
+    ratios = [q[ratio_key] for q in out["queries"].values()]
     out["median_time_ratio"] = sorted(ratios)[len(ratios) // 2]
     with open(os.path.join(REPO, args.out), "w") as f:
         json.dump(out, f, indent=1)
