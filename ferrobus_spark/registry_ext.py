@@ -1007,15 +1007,20 @@ def _knn_bf_oracle(chunk: str = "") -> str:
     -- ordered INVERSELY to the engine's float64 kernel (q=26199:
     -- oracle picked 58462 over the true 30619; found round 7). The
     -- engine computes float64 throughout, so the twins must too.
+    -- The cast is HOISTED into a per-row CTE: inlined in the join it
+    -- re-casts both lists per PAIR (O(N^2) casts — measured ~3x on the
+    -- sf3.0 quadratic twins and ~56x on the sf10 threshold joins).
     -- sims is materialized NARROW (24 B/row) before the window: with the
     -- cosine inlined in the window's ORDER BY, DuckDB carries both
     -- embedding lists in the sort payload (~1 KB/row — 90+ GB at the
     -- sf1.0 sweep's 400M pairs, killing the host; found round 6).
-    WITH sims AS MATERIALIZED (
+    WITH emb64 AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    ),
+    sims AS MATERIALIZED (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                    CAST(c.embedding AS DOUBLE[])) AS sim
-      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id {chunk}
+             list_cosine_similarity(q.embedding, c.embedding) AS sim
+      FROM emb64 q JOIN emb64 c ON q.vec_id <> c.vec_id {chunk}
     )
     SELECT query_id, neighbor_id, rank FROM (
       SELECT query_id, neighbor_id,
@@ -1055,10 +1060,15 @@ def _knn_lsh_oracle() -> str:
     )
     return f"""
     WITH planes(bit, w) AS MATERIALIZED (VALUES {vals}),
+    -- per-row float64 cast (hoisted: inlined casts re-run per joined
+    -- pair / per plane — see _knn_bf_oracle's comment, round 7)
+    emb64 AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    ),
     signs AS MATERIALIZED (
       SELECT e.vec_id, p.bit,
-             list_dot_product(CAST(e.embedding AS DOUBLE[]), p.w) >= 0 AS s
-      FROM embeddings e CROSS JOIN planes p
+             list_dot_product(e.embedding, p.w) >= 0 AS s
+      FROM emb64 e CROSS JOIN planes p
     ),
     buckets AS MATERIALIZED (
       SELECT vec_id, bit // 8 AS tbl,
@@ -1075,10 +1085,9 @@ def _knn_lsh_oracle() -> str:
     -- brute-force/IVF twins, round 6)
     rerank AS MATERIALIZED (
       SELECT cand.query_id, cand.neighbor_id,
-             list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
-                                    CAST(c.embedding AS DOUBLE[])) AS sim
-      FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
-                JOIN embeddings c ON c.vec_id = cand.neighbor_id
+             list_cosine_similarity(q.embedding, c.embedding) AS sim
+      FROM cand JOIN emb64 q ON q.vec_id = cand.query_id
+                JOIN emb64 c ON c.vec_id = cand.neighbor_id
     )
     SELECT query_id, neighbor_id, rank FROM (
       SELECT query_id, neighbor_id,
@@ -1173,10 +1182,14 @@ def _knn_ivf_oracle(chunk: str = "") -> str:
     )
     return f"""
     WITH cents(cid, w) AS MATERIALIZED (VALUES {vals}),
+    -- per-row float64 cast (hoisted — see _knn_bf_oracle, round 7)
+    emb64 AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    ),
     scored AS MATERIALIZED (
       SELECT e.vec_id, c.cid,
-             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.w) AS sim
-      FROM embeddings e CROSS JOIN cents c
+             list_cosine_similarity(e.embedding, c.w) AS sim
+      FROM emb64 e CROSS JOIN cents c
     ),
     ranked_lists AS MATERIALIZED (
       SELECT vec_id, cid,
@@ -1197,10 +1210,9 @@ def _knn_ivf_oracle(chunk: str = "") -> str:
     -- as knn_embeddings_bruteforce, round 6
     rerank AS MATERIALIZED (
       SELECT cand.query_id, cand.neighbor_id,
-             list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]),
-                                    CAST(ce.embedding AS DOUBLE[])) AS sim
-      FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
-                JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+             list_cosine_similarity(qe.embedding, ce.embedding) AS sim
+      FROM cand JOIN emb64 qe ON qe.vec_id = cand.query_id
+                JOIN emb64 ce ON ce.vec_id = cand.neighbor_id
     )
     SELECT query_id, neighbor_id, rank FROM (
       SELECT query_id, neighbor_id,
@@ -1294,10 +1306,12 @@ def q_knn_ivf_planted(spark, sf_dir):
 @register(
     "embedding_neardup_pairs",
     """
+    WITH emb64 AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= 0.95
+    FROM emb64 a JOIN emb64 b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
     """,
 )
 def q_embedding_neardup(spark, sf_dir):
@@ -1314,16 +1328,15 @@ def q_embedding_neardup(spark, sf_dir):
 @register(
     "embedding_neardup_planted",
     """
-    WITH uni AS (
-      SELECT vec_id, embedding FROM embeddings
+    WITH uni AS MATERIALIZED (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
       UNION ALL
-      SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
-      WHERE vec_id % 10 = 0
+      SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+      FROM embeddings WHERE vec_id % 10 = 0
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
     FROM uni a JOIN uni b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= 0.95
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
     """,
 )
 def q_embedding_neardup_planted(spark, sf_dir):
@@ -1347,15 +1360,14 @@ def q_embedding_neardup_planted(spark, sf_dir):
     "embedding_incremental_planted",
     """
     WITH uni AS MATERIALIZED (
-      SELECT vec_id, embedding FROM embeddings
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
       UNION ALL
-      SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
-      WHERE vec_id % 10 = 0
+      SELECT vec_id + 1000000 AS vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+      FROM embeddings WHERE vec_id % 10 = 0
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b
     FROM uni a JOIN uni b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                 CAST(b.embedding AS DOUBLE[])) >= 0.95
+    WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
       AND b.vec_id >= 1000000
     """,
 )
