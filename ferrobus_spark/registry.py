@@ -187,24 +187,29 @@ def q_knn_nearest_stop(spark, sf_dir):
     exact baseline the k-ring candidate join is validated against.
     """
     docs = _docs_geo(spark, sf_dir)
-    stops = spark.createDataFrame(STOPS, "stop_id INT, slon DOUBLE, slat DOUBLE")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy(F.expr(_KNN_DIST), "stop_id")
-    return (
-        docs.crossJoin(F.broadcast(stops))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            "stop_id",
-            # micrometer fixed point: DuckDB's and the JVM's libm differ
-            # by 1 ulp on the haversine transcendentals for ~1/2500 rows
-            # (seen at sf0.1); the 1e-6 m grid is 7 orders above that
-            F.round(F.expr(_KNN_DIST) * F.lit(1e6))
-            .cast("long")
-            .alias("dist_um"),
+    # The stop table is 8 fixed rows, so the 1-NN argmin folds into ONE
+    # narrow projection: least() over 8 (dist, stop_id) structs — struct
+    # comparison is lexicographic, i.e. exactly the former window's
+    # ORDER BY dist, stop_id with rn = 1. Round 8: this removes the 8×
+    # crossJoin row blowup AND the row_number Exchange+Sort (the only
+    # shuffle in the query); the haversines are the same doubles the
+    # oracle computes (identical op sequence, constant stop coords).
+    best = F.least(*[
+        F.struct(
+            F.expr(
+                haversine_sql("lon", "lat", hexgrid.dlit(slon), hexgrid.dlit(slat))
+            ).alias("d"),
+            F.lit(sid).alias("s"),
         )
+        for sid, slon, slat in STOPS
+    ])
+    return docs.withColumn("best", best).select(
+        "doc_id",
+        F.col("best.s").alias("stop_id"),
+        # micrometer fixed point: DuckDB's and the JVM's libm differ
+        # by 1 ulp on the haversine transcendentals for ~1/2500 rows
+        # (seen at sf0.1); the 1e-6 m grid is 7 orders above that
+        F.round(F.col("best.d") * F.lit(1e6)).cast("long").alias("dist_um"),
     )
 
 

@@ -42,8 +42,18 @@ _STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
     """,
 )
 def q_token_stats(spark, sf_dir):
-    """Token counting: whitespace words + BPE-ish subword regex."""
-    return _docs(spark, sf_dir).select(
+    """Token counting: whitespace words + BPE-ish subword regex.
+
+    Round 8: the documents parquet is ONE row group, so the scan is one
+    task and both Java regex passes ran single-core (measured 1.4 s of
+    the 1.42 s query at sf1.0). spread_for_kernel round-robins the
+    narrow (doc_id, text) projection across the session's parallelism
+    first — the same under-partitioned-input guard the Arrow kernels
+    use (no-op at 100 TB where scans already carry thousands of
+    partitions)."""
+    from ferrobus_spark.plans.partitioning import spread_for_kernel
+
+    return spread_for_kernel(_docs(spark, sf_dir).select("doc_id", "text")).select(
         "doc_id",
         n_words_col("text").alias("n_words"),
         n_bpe_tokens_col("text").alias("n_bpe_tokens"),
@@ -1675,7 +1685,7 @@ def q_customers_without_big_orders(spark, sf_dir):
     """,
 )
 def q_events_sessionize(spark, sf_dir):
-    """Sessionization (30-min gap) via lag + running sum windows.
+    """Sessionization (30-min gap) via a lag window + one aggregation.
 
     The gap test runs on integer microseconds (``unix_micros`` /
     ``epoch_us``) on BOTH the Spark and oracle sides: timestamps carry
@@ -1685,9 +1695,6 @@ def q_events_sessionize(spark, sf_dir):
     """
     e = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
     sess = (
         e.withColumn("prev_ts", F.lag("ts").over(w))
         .withColumn(
@@ -1704,13 +1711,16 @@ def q_events_sessionize(spark, sf_dir):
                 1,
             ).otherwise(0),
         )
-        .withColumn("session_id", F.sum("is_new").over(run))
     )
-    return (
-        sess.groupBy("user_id", "session_id")
-        .agg(F.count("*").alias("n_events"))
-        .groupBy("user_id")
-        .agg(F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events"))
+    # Round 8: the per-user rollup needs no session_id at all —
+    # n_sessions = number of session STARTS = SUM(is_new), and n_events
+    # = the user's event count (the per-session counts sum back to it).
+    # This drops the running-sum window and both intermediate groupBys;
+    # the one remaining aggregation reuses the lag window's hash(user_id)
+    # partitioning, so the whole query is a single Exchange.
+    return sess.groupBy("user_id").agg(
+        F.sum("is_new").alias("n_sessions"),
+        F.count("*").alias("n_events"),
     )
 
 
