@@ -168,22 +168,26 @@ def brute_force_topk(
     raise with a clear message (``on_overflow='error'``). Pass
     ``max_corpus_rows=None`` to force the exact path (oracle use)."""
     if max_corpus_rows is not None:
-        # bounded probe: limit(max+1).count() short-circuits instead of
-        # scanning the whole corpus just to check the gate
-        n_corpus = corpus.limit(max_corpus_rows + 1).count()
-        if n_corpus > max_corpus_rows:
+        # gate and collect in ONE job (round 8: the former separate
+        # limit(max+1).count() probe was a full extra scan): pull at
+        # most max+1 rows — if the limit bites, the corpus is over the
+        # gate and the collected frame is discarded for the IVF path;
+        # otherwise it IS the full corpus and is reused directly.
+        cp = corpus.select(id_col, vec_col).limit(max_corpus_rows + 1).toPandas()
+        if len(cp) > max_corpus_rows:
             if on_overflow == "ivf":
                 return ivf_topk(
                     spark, queries, corpus, k,
                     id_col=id_col, vec_col=vec_col, exclude_self=exclude_self,
                 )
             raise ValueError(
-                f"brute_force_topk: corpus has {n_corpus} rows > "
-                f"max_corpus_rows={max_corpus_rows}; the exact path "
+                f"brute_force_topk: corpus has > "
+                f"max_corpus_rows={max_corpus_rows} rows; the exact path "
                 "broadcasts the whole corpus. Use ivf_topk/lsh_topk, or "
                 "pass max_corpus_rows=None to force the exact path."
             )
-    cp = corpus.select(id_col, vec_col).toPandas()
+    else:
+        cp = corpus.select(id_col, vec_col).toPandas()
     ids = cp[id_col].to_numpy(np.int64)
     mat = _normalize(np.stack(cp[vec_col].to_numpy()).astype(np.float64))
     bc = spark.sparkContext.broadcast((ids, mat))

@@ -346,22 +346,57 @@ def _assert_equi_join_plan(plan: str):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
-def test_minhash_lsh_pairs_plan_shape(spark):
-    """Physical-plan pin (mirrors knn_join's in test_spatial.py): the band
-    candidate join must stay an equi-join on (band, bucket) — a refactor
-    that degrades it to a cartesian/BNLJ would pass tiny-corpus value
-    tests while being a 100 TB scale-killer."""
-    from ferrobus_spark.operators.dedup import N_HASHES, minhash_lsh_pairs
+def test_minhash_lsh_pairs_plan_shape(spark, monkeypatch):
+    """Physical-plan pin (mirrors knn_join's in test_spatial.py): the
+    AT-SCALE path — the joined fallback beyond the signature-broadcast
+    gate — must stay an equi-join on (band, bucket); a refactor that
+    degrades it to a cartesian/BNLJ would pass tiny-corpus value tests
+    while being a 100 TB scale-killer. The gate is forced shut so the
+    fallback plan is the one pinned."""
+    import ferrobus_spark.operators.dedup as dd
 
+    monkeypatch.setattr(dd, "_MAX_BROADCAST_SIGS", 0)
     sigs = spark.range(64).select(
         F.col("id"),
         F.transform(
-            F.sequence(F.lit(1), F.lit(N_HASHES)),
+            F.sequence(F.lit(1), F.lit(dd.N_HASHES)),
             lambda i: F.xxhash64(F.col("id") % 7, i),
         ).alias("signature"),
     )
-    plan = _plan_str(minhash_lsh_pairs(sigs, n_hashes=N_HASHES))
+    plan = _plan_str(dd.minhash_lsh_pairs(sigs, n_hashes=dd.N_HASHES))
     _assert_equi_join_plan(plan)
+
+
+def test_minhash_vectorized_equals_joined_path(spark, monkeypatch):
+    """The round-8 vectorized scoring path (broadcast signature matrix +
+    in-bucket NumPy pair generation) must be row-identical to the
+    distributed join fallback, on a corpus that exercises hot buckets
+    (template docs over the cap), cold near-dup pairs, AND the kernel's
+    batch-straddling group carry + pair-chunk slicing (both forced tiny)."""
+    import ferrobus_spark.operators.dedup as dd
+
+    rows = []
+    did = 0
+    for i in range(40):  # template stratum -> hot buckets (cap forced low)
+        rows.append((did, "template boilerplate page body shared verbatim")); did += 1
+    for i in range(30):  # near-dup stratum
+        rows.append((did, f"document number {i % 6} with mostly shared words")); did += 1
+    for i in range(30):  # unique stratum
+        rows.append((did, f"totally unique text {i} {i*17} {i*29} xyz{i}")); did += 1
+    corpus = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sigs = minhash_signatures(corpus)
+
+    def run():
+        return sorted(
+            map(tuple, minhash_lsh_pairs(sigs, n_hashes=64, max_bucket_size=8).collect())
+        )
+
+    monkeypatch.setattr(dd, "_PAIR_CHUNK", 3)  # force chunk slicing
+    vec = run()
+    monkeypatch.setattr(dd, "_MAX_BROADCAST_SIGS", 0)  # force joined path
+    joined = run()
+    assert vec == joined
+    assert len(vec) > 0
 
 
 def test_incremental_minhash_pairs_plan_shape(spark):
