@@ -187,6 +187,62 @@ _PAIRS_SCHEMA = T.StructType([
     T.StructField("est_jaccard", T.DoubleType()),
 ])
 
+_ENRICHED_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("signature", T.ArrayType(T.LongType())),
+    T.StructField("bands", T.ArrayType(T.LongType())),
+])
+
+#: FNV-64 prime — multiplier of the vectorized per-band polynomial hash
+_BAND_MULT = np.uint64(1099511628211)
+
+
+def _band_hash_matrix(smat: np.ndarray, n_bands: int) -> np.ndarray:
+    """(n, n_hashes) signature matrix → (n, n_bands) int64 band keys.
+
+    A 64-bit polynomial hash per band slice. The bucket function is NOT
+    pinned by the oracle (the DuckDB twin buckets on the EXACT band
+    values; the engine's hash only matters through collisions), so any
+    deterministic mix works — and 64-bit keys shrink the bucket-merge
+    collision probability from the former 32-bit Murmur3's birthday
+    regime (~0.2 per band at sf1.0's 44k buckets) to ~2^-64-scale.
+    """
+    n = smat.shape[0]
+    rpb = smat.shape[1] // n_bands
+    s3 = smat.astype(np.uint64).reshape(n, n_bands, rpb)
+    h = np.zeros((n, n_bands), np.uint64)
+    for j in range(rpb):
+        h = h * _BAND_MULT + s3[:, :, j]
+    return h.astype(np.int64)
+
+
+def _enrich_with_bands(sigs: DataFrame, n_bands: int) -> DataFrame:
+    """(id, signature) → (id, signature, bands) via one Arrow pass.
+
+    Precomputing the band keys in NumPy replaces the former per-scan
+    interpreted ``transform(sequence, hash(slice(...)))`` higher-order
+    expression, which re-evaluated on every branch that read the bands
+    (probe, both self-join sides, hot branch)."""
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame({
+                    "id": pd.Series(dtype="int64"),
+                    "signature": pd.Series(dtype="object"),
+                    "bands": pd.Series(dtype="object"),
+                })
+                continue
+            smat = np.stack(pdf["signature"].to_numpy()).astype(np.int64)
+            bands = _band_hash_matrix(smat, n_bands)
+            yield pd.DataFrame({
+                "id": pdf["id"].to_numpy(np.int64),
+                "signature": list(smat),
+                "bands": list(bands),
+            })
+
+    return sigs.select("id", "signature").mapInPandas(kernel, _ENRICHED_SCHEMA)
+
 
 def _vectorized_cold_pairs(
     cold: DataFrame, bc, threshold: float, n_hashes: int
@@ -212,11 +268,11 @@ def _vectorized_cold_pairs(
         ids_sorted, smat = bc.value
 
         def emit(ids, band, bucket):
-            key = band * np.int64(1 << 33) + (bucket + np.int64(1 << 32))
-            seg_start = np.flatnonzero(
-                np.concatenate([[True], key[1:] != key[:-1]])
-            )
-            seg_sizes = np.diff(np.concatenate([seg_start, [len(key)]]))
+            seg_start = np.flatnonzero(np.concatenate([
+                [True],
+                (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1]),
+            ]))
+            seg_sizes = np.diff(np.concatenate([seg_start, [len(ids)]]))
             seg_pairs = seg_sizes * (seg_sizes - 1) // 2
             cum = np.concatenate([[0], np.cumsum(seg_pairs)])
             if cum[-1] == 0:
@@ -294,30 +350,6 @@ def _vectorized_cold_pairs(
     )
 
 
-def _vectorized_pair_score(
-    pairs: DataFrame, bc, threshold: float, n_hashes: int
-) -> DataFrame:
-    """Score explicit (id_a, id_b) pairs against the broadcast matrix."""
-
-    def kernel(batches):
-        ids_sorted, smat = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield _pairs_empty()
-                continue
-            a = pdf["id_a"].to_numpy(np.int64)
-            b = pdf["id_b"].to_numpy(np.int64)
-            est = (
-                smat[np.searchsorted(ids_sorted, a)]
-                == smat[np.searchsorted(ids_sorted, b)]
-            ).sum(axis=1) / float(n_hashes)
-            keep = est >= threshold
-            yield pd.DataFrame({
-                "id_a": a[keep], "id_b": b[keep], "est_jaccard": est[keep],
-            })
-    return pairs.select("id_a", "id_b").mapInPandas(kernel, _PAIRS_SCHEMA)
-
-
 def _hot_bucket_split(
     rows: DataFrame, keys: list, group_col: str, cap: int | None,
     star_extra: list | None = None, keeper_flag: str | None = None,
@@ -366,6 +398,21 @@ def _hot_bucket_split(
         )
     else:  # pathological: keep the key set distributed
         hot_keys = counts
+    cold, hot_star = _hot_bucket_apply(
+        rows, keys, group_col, hot_keys, star_extra, keeper_flag
+    )
+    return cold, hot_star, hot_keys
+
+
+def _hot_bucket_apply(
+    rows: DataFrame, keys: list, group_col: str, hot_keys,
+    star_extra: list | None = None, keeper_flag: str | None = None,
+):
+    """Split ``rows`` against an ALREADY-KNOWN hot-key table: the
+    anti/semi/star machinery of :func:`_hot_bucket_split` without its
+    probe job (used when the caller derived the hot keys from data it
+    already holds, e.g. minhash_lsh_pairs' gate-path signature collect).
+    """
     from pyspark.sql import Window
 
     cold = rows.join(hot_keys, keys, "left_anti")
@@ -387,7 +434,7 @@ def _hot_bucket_split(
             )
             .select(F.col("gm.id").alias("id_a"), F.col("id").alias("id_b"), *extras)
         )
-    return cold, hot_star, hot_keys
+    return cold, hot_star
 
 
 def minhash_lsh_pairs(
@@ -457,10 +504,12 @@ def minhash_lsh_pairs(
     ``max_bucket_size=None`` disables the guard (exact all-pairs
     semantics, only safe on corpora known to be template-free).
     """
-    sigs = sigs.localCheckpoint()
     if n_hashes is None:
         n_hashes = len(sigs.select("signature").first()["signature"])
-    rows_per_band = n_hashes // n_bands
+    # One materialization job: signatures plus their precomputed 64-bit
+    # band keys (see _band_hash_matrix — replaces the interpreted
+    # transform+hash(slice) expression that re-evaluated per branch).
+    sigs = _enrich_with_bands(sigs, n_bands).localCheckpoint()
     bands = sigs.select(
         "id",
         # xxhash64, not 32-bit Murmur3: sig_hash keys the identical-signature
@@ -470,22 +519,16 @@ def minhash_lsh_pairs(
         # min-id star edges then score est_jaccard < threshold and silently
         # drop genuinely identical pairs.
         F.xxhash64("signature").alias("sig_hash"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.hash(F.slice("signature", b * rows_per_band + 1, rows_per_band)),
-            )
-        ).alias("band", "bucket"),
-    )
-    cold, hot_star, _ = _hot_bucket_split(
-        bands, ["band", "bucket"], "sig_hash", max_bucket_size,
+        F.posexplode("bands").alias("band", "bucket"),
     )
     # Vectorized scoring path (round 8), gated on broadcast feasibility
     # exactly like brute_force_topk's corpus gate — the collect below
-    # pulls at most cap+1 rows, so the probe and the broadcast payload
-    # share one job. Requires the hot-bucket guard (bounded groups);
-    # beyond the cap, or with the guard off, the fully-distributed
-    # candidate-join plan below remains the at-scale shape.
+    # pulls at most cap+1 rows, and because the collected frame carries
+    # the band keys, the hot-bucket PROBE is computed driver-side from
+    # the same payload (no separate probe job on this path). Requires
+    # the hot-bucket guard (bounded groups); beyond the cap, or with
+    # the guard off, the fully-distributed candidate-join plan below
+    # (with its distributed probe) remains the at-scale shape.
     sig_pd = None
     if max_bucket_size is not None:
         sig_pd = sigs.limit(_MAX_BROADCAST_SIGS + 1).toPandas()
@@ -493,22 +536,75 @@ def minhash_lsh_pairs(
             sig_pd = None
     if sig_pd is not None:
         sid = sig_pd["id"].to_numpy(np.int64)
-        smat = (
-            np.stack(sig_pd["signature"].to_numpy()).astype(np.int64)
-            if len(sig_pd)
-            else np.empty((0, n_hashes), np.int64)
-        )
+        if len(sig_pd):
+            smat = np.stack(sig_pd["signature"].to_numpy()).astype(np.int64)
+            band_mat = np.stack(sig_pd["bands"].to_numpy()).astype(np.int64)
+        else:
+            smat = np.empty((0, n_hashes), np.int64)
+            band_mat = np.empty((0, n_bands), np.int64)
+        # hot-bucket keys from the collected band matrix (numpy bincount
+        # — the exact counts the distributed probe would aggregate), and
+        # the star edges of every hot bucket from the same payload: the
+        # members' identical-signature groups are formed by sorting the
+        # ACTUAL signature rows (the exact grouping the DuckDB twin
+        # states — strictly safer than the distributed branch's xxhash64
+        # proxy), so each star pair's est_jaccard is exactly 1.0 by
+        # construction and no scoring pass is needed. This folds what
+        # was a semi-join + window + Python scoring stage (~0.7 s at
+        # sf1.0 for 756 star edges) into driver NumPy on data the gate
+        # already collected.
+        hot_rows = []
+        star_a: list[np.ndarray] = []
+        star_b: list[np.ndarray] = []
+        for bnd in range(n_bands):
+            vals, cnt = np.unique(band_mat[:, bnd], return_counts=True)
+            for v in vals[cnt > max_bucket_size]:
+                hot_rows.append((bnd, int(v)))
+                members = np.flatnonzero(band_mat[:, bnd] == v)
+                # group members by exact signature: lexsort rows, then
+                # first-occurrence boundaries
+                sub = smat[members]
+                g_order = np.lexsort(sub.T[::-1])
+                sub_s = sub[g_order]
+                mem_s = members[g_order]
+                new_g = np.concatenate(
+                    [[True], (sub_s[1:] != sub_s[:-1]).any(axis=1)]
+                )
+                g_id = np.cumsum(new_g) - 1
+                # min doc id per group -> star edges (gmin, member)
+                g_min = np.full(g_id[-1] + 1, np.iinfo(np.int64).max, np.int64)
+                np.minimum.at(g_min, g_id, sid[mem_s])
+                gm = g_min[g_id]
+                others = sid[mem_s] != gm
+                star_a.append(gm[others])
+                star_b.append(sid[mem_s][others])
+        if hot_rows:
+            hot_keys = F.broadcast(
+                sigs.sparkSession.createDataFrame(
+                    hot_rows, "band INT, bucket BIGINT"
+                )
+            )
+            cold = bands.join(hot_keys, ["band", "bucket"], "left_anti")
+        else:
+            cold = bands
         order = np.argsort(sid)
         bc = sigs.sparkSession.sparkContext.broadcast((sid[order], smat[order]))
         out = _vectorized_cold_pairs(cold, bc, threshold, n_hashes)
-        if hot_star is not None:
-            # star pairs still score against REAL signatures (an
-            # xxhash64 sig_hash collision inside a hot group must be
-            # caught by the est filter, same as the join path)
+        if star_a:
+            sa_np = np.concatenate(star_a)
+            sb_np = np.concatenate(star_b)
+            stars = pd.DataFrame({
+                "id_a": sa_np,
+                "id_b": sb_np,
+                "est_jaccard": np.ones(len(sa_np), np.float64),
+            })
             out = out.unionByName(
-                _vectorized_pair_score(hot_star, bc, threshold, n_hashes)
+                sigs.sparkSession.createDataFrame(stars, schema=_PAIRS_SCHEMA)
             )
         return out.distinct()
+    cold, hot_star, _ = _hot_bucket_split(
+        bands, ["band", "bucket"], "sig_hash", max_bucket_size,
+    )
     a = cold.select(F.col("id").alias("id_a"), "band", "bucket")
     b = cold.select(F.col("id").alias("id_b"), "band", "bucket")
     cand = (
@@ -652,18 +748,15 @@ def lsh_hot_bucket_stats(
     fallback. ``members - exact-group coverage`` is the upper bound on
     docs whose candidacy was dropped from that band.
     """
-    rows_per_band = n_hashes // n_bands
-    bands = sigs.select(
+    bands = _enrich_with_bands(sigs, n_bands).select(
         "id",
         # xxhash64: exact_groups must count full-signature groups, and a
         # 32-bit hash undercounts once buckets reach ~77k distinct sigs
         F.xxhash64("signature").alias("sig_hash"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.hash(F.slice("signature", b * rows_per_band + 1, rows_per_band)),
-            )
-        ).alias("band", "bucket"),
+        # same precomputed 64-bit band keys the production operator
+        # buckets on (_band_hash_matrix) — the stats must describe the
+        # buckets the guard actually sees
+        F.posexplode("bands").alias("band", "bucket"),
     )
     return (
         bands.groupBy("band", "bucket")
