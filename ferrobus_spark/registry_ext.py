@@ -73,10 +73,16 @@ def q_token_stats(spark, sf_dir):
     """,
 )
 def q_quality_stats(spark, sf_dir):
-    """Quality-signal counts (ratios derive from these; int-exact)."""
+    """Quality-signal counts (ratios derive from these; int-exact).
+
+    Round 8: spread the single-row-group documents scan first — the
+    regex/translate passes otherwise run in ONE task (guide §2/§6;
+    no-op at scale where scans carry many partitions)."""
+    from ferrobus_spark.plans.partitioning import spread_for_kernel
+
     c = F.col("text")
     words = F.regexp_extract_all(F.lower(c), F.lit("[a-z]+"), F.lit(0))
-    return _docs(spark, sf_dir).select(
+    return spread_for_kernel(_docs(spark, sf_dir).select("doc_id", "text")).select(
         "doc_id",
         F.length(c).cast("long").alias("n_chars_q"),
         F.length(F.regexp_replace(c, "[^A-Za-z]", "")).cast("long").alias("n_alpha"),
@@ -119,8 +125,10 @@ def q_quality_score(spark, sf_dir):
     """Composite [0,1] quality heuristic, bit-matched against DuckDB
     (per-row double arithmetic from integer counts — no float aggs)."""
     from ferrobus_spark.functions.text import quality_score_col
+    from ferrobus_spark.plans.partitioning import spread_for_kernel
 
-    return _docs(spark, sf_dir).select(
+    # spread: single-row-group scan, regex-heavy projection (round 8)
+    return spread_for_kernel(_docs(spark, sf_dir).select("doc_id", "text")).select(
         "doc_id", quality_score_col("text").alias("score")
     )
 
@@ -160,7 +168,10 @@ def _lang_id_oracle() -> str:
 def q_lang_id_pred(spark, sf_dir):
     """Heuristic n-gram language ID; oracle = independent SQL restatement
     of the marker-count + first-max rule (plus pytest accuracy scoring)."""
-    return _docs(spark, sf_dir).select(
+    from ferrobus_spark.plans.partitioning import spread_for_kernel
+
+    # spread: 36 marker regexp_counts per row ran single-task (round 8)
+    return spread_for_kernel(_docs(spark, sf_dir).select("doc_id", "text")).select(
         "doc_id", lang_id_col(F.col("text")).alias("lang_pred")
     )
 
@@ -221,7 +232,11 @@ def _fingerprint_oracle() -> str:
 def q_doc_fingerprint(spark, sf_dir):
     """Rolling-hash document fingerprint; oracle = independent mod-2^64
     restatement of the winnowing rule in DuckDB SQL."""
-    return _docs(spark, sf_dir).select(
+    from ferrobus_spark.plans.partitioning import spread_for_kernel
+
+    # spread: the Arrow fingerprint kernel ran as one task on the
+    # single-row-group scan (round 8)
+    return spread_for_kernel(_docs(spark, sf_dir).select("doc_id", "text")).select(
         "doc_id", fingerprint_udf(F.col("text")).alias("fingerprint")
     )
 
