@@ -65,39 +65,72 @@ def _block_topk(
     """Exact per-query top-k over one candidate block, chunked on BOTH axes.
 
     For each _Q_CHUNK of queries, corpus chunks of _C_CHUNK are scored
-    with one BLAS matmul each; a running ≤k-entry candidate set per query
-    is merged after every chunk under the exact (cosine DESC, id ASC)
-    order (lexsort, not argpartition: identical vectors DO tie exactly
-    and must break by id, matching the DuckDB twins' window order).
-    Merging is exact because top-k(A ∪ B) = top-k(top-k(A) ∪ B).
-    Vectors must be pre-normalized (dot == cosine). Returns columns for
-    a (query_id, neighbor_id, cosine) DataFrame, each query's neighbors
-    already in rank order.
+    with one BLAS matmul each. Round 8 (the round-7 verdict's suggested
+    vectorization, measured): instead of a per-query Python merge loop
+    after every chunk, each chunk contributes a SUPERSET of its possible
+    top-k rows via a per-row np.partition threshold (the (k+1)-th
+    largest value — k+1 so a present self-match cannot crowd out a true
+    neighbor; the >= mask keeps every boundary tie), survivors
+    accumulate across chunks, and ONE global lexsort under the exact
+    (query, cosine DESC, id ASC) order ranks them (lexsort, not
+    argpartition alone, because identical vectors DO tie exactly and
+    must break by id, matching the DuckDB twins' window order). Exact:
+    a query's true top-k within a chunk is inside that chunk's
+    (k+1)-thresholded survivors, and top-k(∪ chunks) = top-k of the
+    survivor union. Chunk boundaries are unchanged, so every cosine is
+    produced by the same BLAS call shape as before (bit-identical
+    scores). Vectors must be pre-normalized (dot == cosine). Returns
+    columns for a (query_id, neighbor_id, cosine) DataFrame, each
+    query's neighbors in rank order.
     """
-    out = {"query_id": [], "neighbor_id": [], "cosine": []}
+    out_q: list[np.ndarray] = []
+    out_n: list[np.ndarray] = []
+    out_s: list[np.ndarray] = []
     for qlo in range(0, len(qids), q_chunk):
         qi = qids[qlo : qlo + q_chunk]
         qc = qm[qlo : qlo + q_chunk]
-        run: list[tuple[np.ndarray, np.ndarray]] = [
-            (np.empty(0, np.float64), np.empty(0, np.int64))
-        ] * len(qi)
+        acc_r: list[np.ndarray] = []
+        acc_s: list[np.ndarray] = []
+        acc_n: list[np.ndarray] = []
         for clo in range(0, len(cids), c_chunk):
             ci = cids[clo : clo + c_chunk]
             sims = qc @ cm[clo : clo + c_chunk].T
-            for i in range(len(qi)):
-                s = np.concatenate([run[i][0], sims[i]])
-                n = np.concatenate([run[i][1], ci])
-                if exclude_self:
-                    keep = n != qi[i]
-                    s, n = s[keep], n[keep]
-                order = np.lexsort((n, -s))[:k]
-                run[i] = (s[order], n[order])
-        for i in range(len(qi)):
-            s, n = run[i]
-            out["query_id"] += [int(qi[i])] * len(n)
-            out["neighbor_id"] += [int(x) for x in n]
-            out["cosine"] += [float(x) for x in s]
-    return out
+            cc = sims.shape[1]
+            if cc > k + 1:
+                kth = cc - (k + 1)
+                thr = np.partition(sims, kth, axis=1)[:, kth]
+                r_, c_ = np.nonzero(sims >= thr[:, None])
+                acc_r.append(r_)
+                acc_s.append(sims[r_, c_])
+                acc_n.append(ci[c_])
+            else:  # chunk no larger than k+1: keep it whole
+                acc_r.append(np.repeat(np.arange(len(qi)), cc))
+                acc_s.append(sims.ravel())
+                acc_n.append(np.tile(ci, len(qi)))
+        if not acc_r:
+            continue
+        r_ = np.concatenate(acc_r)
+        s_ = np.concatenate(acc_s)
+        n_ = np.concatenate(acc_n)
+        if exclude_self:
+            keep = n_ != qi[r_]
+            r_, s_, n_ = r_[keep], s_[keep], n_[keep]
+        if not len(r_):
+            continue
+        order = np.lexsort((n_, -s_, r_))
+        r_o, s_o, n_o = r_[order], s_[order], n_[order]
+        starts = np.flatnonzero(np.concatenate([[True], r_o[1:] != r_o[:-1]]))
+        counts = np.diff(np.concatenate([starts, [len(r_o)]]))
+        ranks = np.arange(len(r_o)) - np.repeat(starts, counts) + 1
+        sel = ranks <= k
+        out_q.append(qi[r_o[sel]])
+        out_n.append(n_o[sel])
+        out_s.append(s_o[sel])
+    return {
+        "query_id": np.concatenate(out_q) if out_q else np.empty(0, np.int64),
+        "neighbor_id": np.concatenate(out_n) if out_n else np.empty(0, np.int64),
+        "cosine": np.concatenate(out_s) if out_s else np.empty(0, np.float64),
+    }
 
 
 def _sub_split(
@@ -106,6 +139,7 @@ def _sub_split(
     keys: list[str],
     max_rows: int,
     sizes_from: DataFrame | None = None,
+    sizes_df: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, list[str]]:
     """Bound cogroup GROUP size, not just the matmul inside it.
 
@@ -124,18 +158,28 @@ def _sub_split(
     one row per group key), every ``_nsub`` = 1. Pass ``sizes_from``
     when a VECTOR-FREE restatement of cdf's group keys exists — the
     counting pass then avoids re-serializing the wide vec column
-    through Arrow just to count rows (20× narrower at dim=64).
+    through Arrow just to count rows (20× narrower at dim=64). Pass
+    ``sizes_df`` — a ready (keys..., _nsub) table — when the caller
+    already KNOWS the group sizes (ivf_topk computes them driver-side
+    from the training sample when it covers the whole corpus), which
+    skips the counting aggregation job entirely. ``_nsub`` is purely a
+    physical-distribution parameter: any value ≥ 1 yields identical
+    results (the union-of-sub-groups argument below), so an
+    approximately-sized table is safe.
     """
-    sizes = (
-        (sizes_from if sizes_from is not None else cdf)
-        .groupBy(*keys)
-        .agg(F.count("*").alias("_gsz"))
-        .withColumn(
-            "_nsub",
-            F.greatest(F.lit(1), F.ceil(F.col("_gsz") / F.lit(max_rows))).cast("int"),
+    if sizes_df is not None:
+        sizes = sizes_df
+    else:
+        sizes = (
+            (sizes_from if sizes_from is not None else cdf)
+            .groupBy(*keys)
+            .agg(F.count("*").alias("_gsz"))
+            .withColumn(
+                "_nsub",
+                F.greatest(F.lit(1), F.ceil(F.col("_gsz") / F.lit(max_rows))).cast("int"),
+            )
+            .drop("_gsz")
         )
-        .drop("_gsz")
-    )
     cdf = (
         cdf.join(sizes, keys)
         .withColumn("sub", F.pmod(F.xxhash64(F.col("id")), F.col("_nsub")).cast("int"))
@@ -518,23 +562,30 @@ def ivf_topk(
         def kernel(batches):
             cents = bc.value
             for pdf in batches:
+                if len(pdf) == 0:
+                    cols = {"id": pd.Series(dtype="int64")}
+                    if include_vec:
+                        cols["vec"] = pd.Series(dtype="object")
+                    cols["list_id"] = pd.Series(dtype="int32")
+                    yield pd.DataFrame(cols)
+                    continue
                 mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
                 ids = pdf[id_col].to_numpy(np.int64)
                 sims = mat @ cents.T  # (n, n_lists)
                 # stable sort: similarity ties break by centroid index,
                 # matching the SQL twin's (sim DESC, cid) window order
                 order = np.argsort(-sims, axis=1, kind="stable")[:, :n_nearest]
-                rows = {"id": [], "vec": [], "list_id": []} if include_vec else {
-                    "id": [], "list_id": []
-                }
-                for i in range(len(ids)):
-                    v = mat[i].tolist() if include_vec else None
-                    for c in order[i]:
-                        rows["id"].append(int(ids[i]))
-                        if include_vec:
-                            rows["vec"].append(v)
-                        rows["list_id"].append(int(c))
-                yield pd.DataFrame(rows)
+                # vectorized fan-out (round 8: the per-row Python append
+                # loop was ~1 s/task at sf1.0's 20k×8 probe rows)
+                cols = {"id": np.repeat(ids, n_nearest)}
+                if include_vec:
+                    vlist = mat.tolist()
+                    cols["vec"] = [
+                        vlist[i]
+                        for i in np.repeat(np.arange(len(ids)), n_nearest)
+                    ]
+                cols["list_id"] = order.ravel().astype(np.int32)
+                yield pd.DataFrame(cols)
 
         return kernel, out_t
 
@@ -574,10 +625,29 @@ def ivf_topk(
     # n_lists) can still concentrate the corpus into one list
     gkeys = ["list_id"]
     if max_list_size is not None:
-        sk, st_ = assign(1, include_vec=False)  # vec-free counting pass
-        cb_ids = spread_for_kernel(corpus.select(id_col, vec_col)).mapInPandas(sk, st_)
-        qb, cb, gkeys = _sub_split(qb, cb, gkeys, max_list_size,
-                                   sizes_from=cb_ids)
+        if len(train) < max_train:
+            # the bounded training sample turned out to BE the whole
+            # corpus, so list sizes are computable driver-side from
+            # vectors already in hand — no third assignment pass over
+            # the corpus. A last-ulp BLAS-shape difference vs the
+            # distributed assignment could only shift a size by ±1,
+            # and _nsub is a physical-distribution parameter (any
+            # value ≥ 1 is exact — see _sub_split).
+            x_tr = _normalize(np.stack(train[vec_col].to_numpy()).astype(np.float64))
+            a_idx = np.argsort(-(x_tr @ cn.T), axis=1, kind="stable")[:, 0]
+            counts = np.bincount(a_idx, minlength=len(cn))
+            nsub = np.maximum(1, np.ceil(counts / max_list_size)).astype(int)
+            sizes_df = spark.createDataFrame(
+                [(int(i), int(s)) for i, s in enumerate(nsub)],
+                "list_id INT, _nsub INT",
+            )
+            qb, cb, gkeys = _sub_split(qb, cb, gkeys, max_list_size,
+                                       sizes_df=F.broadcast(sizes_df))
+        else:
+            sk, st_ = assign(1, include_vec=False)  # vec-free counting pass
+            cb_ids = spread_for_kernel(corpus.select(id_col, vec_col)).mapInPandas(sk, st_)
+            qb, cb, gkeys = _sub_split(qb, cb, gkeys, max_list_size,
+                                       sizes_from=cb_ids)
     cand = (
         qb.groupBy(*gkeys)
         .cogroup(cb.groupBy(*gkeys))
