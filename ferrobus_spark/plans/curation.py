@@ -132,7 +132,13 @@ def curation_stages(
         return kept
 
     def s_near_dedup(spark, env):
-        t = env["exact_dedup"]
+        # Pin the dedup input ONCE (round 8): in lazy chaining (the
+        # driver-gate query) this stage consumes exact_dedup twice —
+        # deriving signatures AND as the anti-join's left side — and
+        # without the pin the whole pages→parse→features chain
+        # re-executed for each. Under run_pipeline the input is already
+        # a parquet read, so the checkpoint merely caches it.
+        t = env["exact_dedup"].localCheckpoint()
         sigs = minhash_signatures(t, id_col="doc_id", text_col="extracted_text")
         if archive_fn is None:
             pairs = minhash_lsh_pairs(

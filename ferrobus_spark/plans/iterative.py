@@ -85,6 +85,41 @@ def cleanup(paths: list[str]) -> None:
     paths.clear()
 
 
+#: driver union-find gate: edge sets at or below this size are labeled
+#: in one collect + union-find instead of the O(log² n) distributed
+#: loop, whose per-round fixed cost (parquet round-trip + convergence
+#: jobs) dominates small graphs — measured ~7 s of the sf1.0 curation
+#: query for a 2.5k-edge dup graph. Same bounded-driver-work discipline
+#: as the dedup hot-key and signature-broadcast gates; beyond the gate
+#: the distributed alternation below is the at-scale shape.
+_MAX_DRIVER_CC_EDGES = 1_000_000
+
+
+def _driver_union_find(up: "list[int]", vp: "list[int]"):
+    """Min-label union-find over one edge list (path-halving)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = parent.setdefault(x, x)
+        while r != parent[r]:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        # path compression for the queried chain
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(up, vp):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # attach the larger root under the smaller → root IS the min
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return {n: find(n) for n in parent}
+
+
 def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 50
 ) -> DataFrame:
@@ -95,6 +130,9 @@ def connected_components(
     nodes absent from ``edges`` won't appear — union them separately.
     Scale: each round is two aggregate+join passes over the edge list,
     shuffling on node id; rounds are O(log² n) worst-case, ~5 in practice.
+    Edge sets under ``_MAX_DRIVER_CC_EDGES`` skip the loop entirely: the
+    materialized (deduplicated) edge list is collected once and labeled
+    by union-find — identical output, none of the per-round job overhead.
     """
     e_dirs: list[str] = []
     E = (
@@ -103,13 +141,30 @@ def connected_components(
         .distinct()
     )
     E = materialize(E, e_dirs)
+    n_edges = E.count()  # parquet-footer count on the fresh materialize
+    if n_edges == 0:
+        return materialize(
+            E.select(F.col("u").alias("node"))
+            .union(E.select(F.col("v").alias("node")))
+            .distinct()
+        ).withColumn("component", F.col("node"))
+    if n_edges <= _MAX_DRIVER_CC_EDGES:
+        ep = E.toPandas()
+        labels = _driver_union_find(ep["u"].tolist(), ep["v"].tolist())
+        import pandas as pd
+
+        out = pd.DataFrame(
+            {"node": list(labels.keys()), "component": list(labels.values())}
+        )
+        cleanup(e_dirs)
+        return edges.sparkSession.createDataFrame(
+            out, schema="node BIGINT, component BIGINT"
+        )
     all_nodes = materialize(
         E.select(F.col("u").alias("node"))
         .union(E.select(F.col("v").alias("node")))
         .distinct()
     )
-    if E.limit(1).count() == 0:
-        return all_nodes.withColumn("component", F.col("node"))
 
     for _ in range(max_iter):
         # ---- large-star: connect every strictly-larger neighbor of u to
@@ -139,12 +194,18 @@ def connected_components(
         )
         prev_dirs, e_dirs = e_dirs, []
         new_E = materialize(small, e_dirs)
-        changed = (
-            new_E.exceptAll(E).limit(1).count() + E.exceptAll(new_E).limit(1).count()
+        # both edge sets are .distinct() outputs, so set equality is
+        # |new| == |old| AND new ⊆ old — one footer-cheap count plus one
+        # anti-join probe, replacing two exceptAll passes (each a full
+        # window-dedup shuffle) per round
+        n_new = new_E.count()
+        changed = n_new != n_edges or (
+            new_E.join(E, ["u", "v"], "left_anti").limit(1).count() > 0
         )
+        n_edges = n_new
         E = new_E
-        cleanup(prev_dirs)  # the exceptAll comparison was the last read of old E
-        if changed == 0:
+        cleanup(prev_dirs)  # the comparison above was the last read of old E
+        if not changed:
             break
 
     # fixpoint E is a star forest: (child, root) with root = component min

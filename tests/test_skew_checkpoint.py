@@ -133,3 +133,33 @@ def test_checkpoint_resume_after_midwrite_crash(spark, tmp_path):
     metrics = {m["stage"]: m for m in pipeline_metrics(crash_root)}
     assert metrics["b"]["rows"] == 50
     shutil.rmtree(crash_root)
+
+
+def test_connected_components_driver_equals_distributed(spark, monkeypatch):
+    """The round-8 driver union-find gate must label identically to the
+    distributed large-star/small-star loop (component = min node id),
+    on a graph with chains, a cycle, isolated pairs, and singletons-in-
+    edges."""
+    import ferrobus_spark.plans.iterative as it
+
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain -> comp 1
+        (10, 11), (11, 10), (11, 12),    # dup + cycle -> comp 10
+        (20, 21),                        # pair -> comp 20
+        (30, 31), (31, 32), (32, 30),    # triangle -> comp 30
+        (40, 5), (5, 1),                 # bridges into comp 1
+    ]
+    df = spark.createDataFrame(edges, "src BIGINT, dst BIGINT")
+
+    def run():
+        return sorted(
+            map(tuple, it.connected_components(df).collect())
+        )
+
+    fast = run()
+    monkeypatch.setattr(it, "_MAX_DRIVER_CC_EDGES", 0)
+    slow = run()
+    assert fast == slow
+    comp = dict(fast)
+    assert comp[4] == 1 and comp[40] == 1 and comp[12] == 10
+    assert comp[21] == 20 and comp[32] == 30
