@@ -115,27 +115,39 @@ def _minhash_params(n_hashes: int) -> tuple[np.ndarray, np.ndarray]:
 
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    n_hashes: int = N_HASHES, shingle: int = 5,
+    n_hashes: int = N_HASHES, shingle: int = 5, n_bands: int | None = None,
 ) -> DataFrame:
-    """(id, signature array<long>) — Arrow-batched, no per-row Python.
+    """(id, signature array<long>[, bands array<long>]) — Arrow-batched.
 
     One vectorized pass per Arrow batch: all docs' shingle hashes are
     concatenated, each permutation is applied to the whole flat array,
     and per-doc minima come from ``np.minimum.reduceat`` over the doc
     boundaries — the hashing cost is batch-wide matrix work, not a
     Python loop body.
+
+    ``n_bands`` (round 8): additionally emit the per-band LSH keys
+    (:func:`_band_hash_matrix`) in the SAME pass — callers that feed
+    :func:`minhash_lsh_pairs` avoid a second JVM↔Python round trip of
+    the full signature table for the enrichment. Must equal the
+    ``n_bands`` later passed to the pair join.
     """
-    sig_t = T.StructType([
+    fields = [
         T.StructField("id", T.LongType()),
         T.StructField("signature", T.ArrayType(T.LongType())),
-    ])
+    ]
+    if n_bands:
+        fields.append(T.StructField("bands", T.ArrayType(T.LongType())))
+    sig_t = T.StructType(fields)
     a, b = _minhash_params(n_hashes)
 
     def kernel(batches):
         for pdf in batches:
             ids = pdf[id_col].to_numpy(np.int64)
             if len(ids) == 0:
-                yield pd.DataFrame({"id": [], "signature": []})
+                cols = {"id": [], "signature": []}
+                if n_bands:
+                    cols["bands"] = []
+                yield pd.DataFrame(cols)
                 continue
             flat, starts = _batch_shingle_hashes(list(pdf[text_col]), shingle)
             x = flat % np.uint64(MERSENNE)
@@ -144,10 +156,11 @@ def minhash_signatures(
             for h in range(n_hashes):
                 vals = (a[h] * x + b[h]) % np.uint64(MERSENNE)
                 sigs[:, h] = np.minimum.reduceat(vals, seg_starts)
-            yield pd.DataFrame({
-                "id": ids,
-                "signature": list(sigs.astype(np.int64)),
-            })
+            out = sigs.astype(np.int64)
+            cols = {"id": ids, "signature": list(out)}
+            if n_bands:
+                cols["bands"] = list(_band_hash_matrix(out, n_bands))
+            yield pd.DataFrame(cols)
 
     from ferrobus_spark.plans.partitioning import spread_for_kernel
 
@@ -509,7 +522,11 @@ def minhash_lsh_pairs(
     # One materialization job: signatures plus their precomputed 64-bit
     # band keys (see _band_hash_matrix — replaces the interpreted
     # transform+hash(slice) expression that re-evaluated per branch).
-    sigs = _enrich_with_bands(sigs, n_bands).localCheckpoint()
+    # Input built by minhash_signatures(n_bands=...) already carries the
+    # band column (same hash, same pass) — skip the extra Arrow trip.
+    if "bands" not in sigs.columns:
+        sigs = _enrich_with_bands(sigs, n_bands)
+    sigs = sigs.localCheckpoint()
     bands = sigs.select(
         "id",
         # xxhash64, not 32-bit Murmur3: sig_hash keys the identical-signature

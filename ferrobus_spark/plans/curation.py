@@ -139,7 +139,13 @@ def curation_stages(
         # re-executed for each. Under run_pipeline the input is already
         # a parquet read, so the checkpoint merely caches it.
         t = env["exact_dedup"].localCheckpoint()
-        sigs = minhash_signatures(t, id_col="doc_id", text_col="extracted_text")
+        # batch mode bakes the LSH band keys into the signature pass
+        # (incremental mode keeps plain signatures: the archive side has
+        # none, and incremental_minhash_pairs does its own banding)
+        sigs = minhash_signatures(
+            t, id_col="doc_id", text_col="extracted_text",
+            n_bands=16 if archive_fn is None else None,
+        )
         if archive_fn is None:
             pairs = minhash_lsh_pairs(
                 sigs, threshold=near_dup_threshold, n_hashes=N_HASHES

@@ -601,7 +601,9 @@ def _minhash_pairs_ctes(source: str, min_agree: int, cap: int = 256) -> str:
 def q_minhash_dup_pairs(spark, sf_dir):
     from ferrobus_spark.operators.dedup import N_HASHES, minhash_lsh_pairs, minhash_signatures
 
-    sigs = minhash_signatures(_docs(spark, sf_dir))
+    # n_bands=16 bakes the LSH band keys into the same Arrow pass
+    # (minhash_lsh_pairs' default banding) — no second enrichment trip
+    sigs = minhash_signatures(_docs(spark, sf_dir), n_bands=16)
     return minhash_lsh_pairs(sigs, threshold=0.5, n_hashes=N_HASHES).select("id_a", "id_b")
 
 
@@ -757,7 +759,7 @@ def q_ngram_exact_dups(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir)
-    sigs = minhash_signatures(docs)
+    sigs = minhash_signatures(docs, n_bands=16)
     cand = minhash_lsh_pairs(sigs, threshold=0.9, n_hashes=N_HASHES).select("id_a", "id_b")
     exact = ngram_jaccard_pairs(docs, cand)
     return exact.filter(F.col("jaccard") == 1.0).select("id_a", "id_b")
@@ -796,7 +798,7 @@ def q_dedup_planted(spark, sf_dir):
         "doc_id", F.col("doc_id") + 1000000
     )
     uni = docs.unionByName(planted)
-    sigs = minhash_signatures(uni)
+    sigs = minhash_signatures(uni, n_bands=16)
     cand = minhash_lsh_pairs(sigs, threshold=0.9, n_hashes=N_HASHES).select("id_a", "id_b")
     exact = ngram_jaccard_pairs(uni, cand)
     return exact.filter(F.col("jaccard") == 1.0).select("id_a", "id_b")
@@ -841,7 +843,7 @@ def q_minhash_guard_planted_template(spark, sf_dir):
         .select((F.lit(2000000) + F.col("i")).alias("doc_id"), "text")
     )
     uni = docs.unionByName(planted)
-    sigs = minhash_signatures(uni)
+    sigs = minhash_signatures(uni, n_bands=16)
     pairs = minhash_lsh_pairs(
         sigs, threshold=0.5, n_hashes=N_HASHES, max_bucket_size=256
     )
