@@ -848,6 +848,10 @@ def simhash_near_pairs(
     are preserved, work stays O(k). Hot-bucket members with a unique
     simhash drop from that chunk only (the other 3 chunks still catch
     them)."""
+    # pin the (id, simhash) rows once — the guard probe, both self-join
+    # sides, and the hot branch otherwise re-execute the upstream
+    # simhash kernel (round 8: 4 kernel executions → 1 at sf1.0)
+    sim = sim.localCheckpoint()
     chunks = sim.select(
         "id",
         "simhash",
