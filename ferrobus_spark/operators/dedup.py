@@ -680,9 +680,17 @@ def incremental_minhash_pairs(
     only for groups containing a new doc — a group min that is an OLD
     doc correctly becomes the keeper.
     """
-    new_sigs = new_sigs.localCheckpoint()
-    old_sigs = old_sigs.localCheckpoint()
-    rows_per_band = n_hashes // n_bands
+    # same banding authority as minhash_lsh_pairs (round 8): 64-bit
+    # per-band keys precomputed in one Arrow pass per side (already
+    # present when the caller built signatures with n_bands), so the
+    # probe, the cold sides, and the hot branch all read cheap
+    # posexplodes instead of re-evaluating an interpreted
+    # transform+hash(slice) expression
+    def ensure_bands(s: DataFrame) -> DataFrame:
+        return s if "bands" in s.columns else _enrich_with_bands(s, n_bands)
+
+    new_sigs = ensure_bands(new_sigs).localCheckpoint()
+    old_sigs = ensure_bands(old_sigs).localCheckpoint()
 
     def explode(sigs):
         return sigs.select(
@@ -691,14 +699,7 @@ def incremental_minhash_pairs(
             # minhash_lsh_pairs (star groups must not merge across
             # different signatures in multi-million-member buckets)
             F.xxhash64("signature").alias("sig_hash"),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                    lambda b: F.hash(
-                        F.slice("signature", b * rows_per_band + 1, rows_per_band)
-                    ),
-                )
-            ).alias("band", "bucket"),
+            F.posexplode("bands").alias("band", "bucket"),
         )
 
     bands_new = explode(new_sigs)

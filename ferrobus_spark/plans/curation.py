@@ -139,12 +139,11 @@ def curation_stages(
         # re-executed for each. Under run_pipeline the input is already
         # a parquet read, so the checkpoint merely caches it.
         t = env["exact_dedup"].localCheckpoint()
-        # batch mode bakes the LSH band keys into the signature pass
-        # (incremental mode keeps plain signatures: the archive side has
-        # none, and incremental_minhash_pairs does its own banding)
+        # bake the LSH band keys into the signature pass; both dedup
+        # operators consume them directly (incremental mode enriches
+        # the band-less archive side itself)
         sigs = minhash_signatures(
-            t, id_col="doc_id", text_col="extracted_text",
-            n_bands=16 if archive_fn is None else None,
+            t, id_col="doc_id", text_col="extracted_text", n_bands=16
         )
         if archive_fn is None:
             pairs = minhash_lsh_pairs(
