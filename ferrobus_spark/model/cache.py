@@ -33,6 +33,9 @@ from pyspark.sql import SparkSession
 from ferrobus_spark.model.build import TransitModel, build_model
 from ferrobus_spark.routing.csr import build_csr
 
+#: Bump for ANY change that alters cached bytes under the same fixture:
+#: build_model itself AND the point builders (build_point_tables /
+#: bounded Dijkstra) whose outputs land in the same key's "points" dir.
 MODEL_CACHE_VERSION = 1
 _MARKER = "_SUCCESS_MODEL"
 
@@ -130,7 +133,12 @@ def load_or_build_points(
             spark, spark.createDataFrame(query_points()),
             model["street_nodes"], model["node_to_stop"], model.csr,
         )
-        tmp = pdir + f".tmp.{os.getpid()}"
+        # dot-prefixed temp dir INSIDE the model cache dir: a builder
+        # killed between makedirs and rename must not leave a
+        # "points.tmp.<pid>" entry that load_or_build_model's table
+        # listing would read as a model table (round-8 ADVICE fix) —
+        # the startswith('.') filters skip it
+        tmp = os.path.join(os.path.dirname(pdir), f".points.tmp.{os.getpid()}")
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp, exist_ok=True)
         for name, df in pts.items():

@@ -115,8 +115,12 @@ def main() -> None:
               f" ratio={row[ratio_key]}", flush=True)
 
     ratio_key = f"time_ratio_{data_x:g}x_data"
-    ratios = [q[ratio_key] for q in out["queries"].values()]
-    out["median_time_ratio"] = sorted(ratios)[len(ratios) // 2]
+    import statistics
+
+    # drop None ratios (zero low-sf time) and take a true median —
+    # sorted()[n//2] picked the upper-middle element and raised on None
+    ratios = [q[ratio_key] for q in out["queries"].values() if q[ratio_key] is not None]
+    out["median_time_ratio"] = statistics.median(ratios) if ratios else None
     with open(os.path.join(REPO, args.out), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"written": args.out,
