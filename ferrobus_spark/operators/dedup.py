@@ -200,6 +200,26 @@ _PAIRS_SCHEMA = T.StructType([
     T.StructField("est_jaccard", T.DoubleType()),
 ])
 
+#: output schema of simhash_near_pairs' vectorized path — ``hamming`` is
+#: IntegerType to byte-match the joined path's ``bit_count`` column
+_HAM_SCHEMA = T.StructType([
+    T.StructField("id_a", T.LongType()),
+    T.StructField("id_b", T.LongType()),
+    T.StructField("hamming", T.IntegerType()),
+])
+
+
+def _ham_empty() -> pd.DataFrame:
+    return pd.DataFrame({
+        "id_a": pd.Series(dtype="int64"),
+        "id_b": pd.Series(dtype="int64"),
+        "hamming": pd.Series(dtype="int32"),
+    })
+
+
+#: byte-wise popcount lookup (numpy < 2.0 has no bitwise_count)
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], np.int64)
+
 _ENRICHED_SCHEMA = T.StructType([
     T.StructField("id", T.LongType()),
     T.StructField("signature", T.ArrayType(T.LongType())),
@@ -258,7 +278,9 @@ def _enrich_with_bands(sigs: DataFrame, n_bands: int) -> DataFrame:
 
 
 def _vectorized_cold_pairs(
-    cold: DataFrame, bc, threshold: float, n_hashes: int
+    cold: DataFrame, bc, threshold: float, n_hashes: int,
+    *, score=None, schema: T.StructType | None = None, empty=None,
+    out_col: str = "est_jaccard",
 ) -> DataFrame:
     """In-bucket candidate pairs + exact est_jaccard, all in NumPy.
 
@@ -274,8 +296,23 @@ def _vectorized_cold_pairs(
     off the whole query at sf1.0). Work per batch is bounded by
     ``_PAIR_CHUNK`` pair-index slices; group size itself is bounded by
     the hot-bucket guard (this path requires the guard to be on).
+
+    ``score`` (round 8, simhash reuse): optional
+    ``(rows_a, rows_b) -> (values, keep_mask)`` scoring callback over
+    the broadcast payload's looked-up rows; the default is the minhash
+    per-position equality count against ``threshold``. ``schema`` /
+    ``empty`` / ``out_col`` parametrize the output column — defaults are
+    the minhash ``est_jaccard`` shape.
     """
     npart = cold.sparkSession.sparkContext.defaultParallelism
+    if schema is None:
+        schema = _PAIRS_SCHEMA
+    if empty is None:
+        empty = _pairs_empty
+    if score is None:
+        def score(sa, sb):
+            est = (sa == sb).sum(axis=1) / float(n_hashes)
+            return est, est >= threshold
 
     def kernel(batches):
         ids_sorted, smat = bc.value
@@ -289,7 +326,7 @@ def _vectorized_cold_pairs(
             seg_pairs = seg_sizes * (seg_sizes - 1) // 2
             cum = np.concatenate([[0], np.cumsum(seg_pairs)])
             if cum[-1] == 0:
-                return _pairs_empty()
+                return empty()
             frames = []
             s = 0
             n_seg = len(seg_sizes)
@@ -314,18 +351,17 @@ def _vectorized_cold_pairs(
                 ib = np.arange(total) - np.repeat(pair_start, reps) + ia + 1
                 ra = np.searchsorted(ids_sorted, sl_ids[ia])
                 rb = np.searchsorted(ids_sorted, sl_ids[ib])
-                est = (smat[ra] == smat[rb]).sum(axis=1) / float(n_hashes)
-                keep = est >= threshold
+                est, keep = score(smat[ra], smat[rb])
                 if not keep.any():
                     continue
                 aa, bb = sl_ids[ia[keep]], sl_ids[ib[keep]]
                 frames.append(pd.DataFrame({
                     "id_a": np.minimum(aa, bb),
                     "id_b": np.maximum(aa, bb),
-                    "est_jaccard": est[keep],
+                    out_col: est[keep],
                 }))
             if not frames:
-                return _pairs_empty()
+                return empty()
             return pd.concat(frames, ignore_index=True)
 
         carry = None
@@ -334,7 +370,7 @@ def _vectorized_cold_pairs(
                 pdf = pd.concat([carry, pdf], ignore_index=True)
                 carry = None
             if len(pdf) == 0:
-                yield _pairs_empty()
+                yield empty()
                 continue
             band = pdf["band"].to_numpy(np.int64)
             bucket = pdf["bucket"].to_numpy(np.int64)
@@ -343,7 +379,7 @@ def _vectorized_cold_pairs(
             cut = len(pdf) - n_tail
             carry = pdf.iloc[cut:]
             if cut == 0:
-                yield _pairs_empty()
+                yield empty()
                 continue
             yield emit(
                 pdf["id"].to_numpy(np.int64)[:cut], band[:cut], bucket[:cut]
@@ -359,7 +395,7 @@ def _vectorized_cold_pairs(
         cold.select("id", "band", "bucket")
         .repartition(npart, "band", "bucket")
         .sortWithinPartitions("band", "bucket")
-        .mapInPandas(kernel, _PAIRS_SCHEMA)
+        .mapInPandas(kernel, schema)
     )
 
 
@@ -840,6 +876,13 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """(id_a, id_b, hamming ≤ max_hamming) via 4×16-bit chunk banding.
 
+    Two result-identical execution paths, exactly like
+    :func:`minhash_lsh_pairs` (round 8): corpora ≤ ``_MAX_BROADCAST_SIGS``
+    with the guard on take a vectorized path (driver-derived hot
+    buckets + stars, broadcast value array, in-bucket popcount kernel);
+    beyond the gate or with the guard off, the chunk self-join below is
+    the fully-distributed at-scale shape.
+
     Same hot-bucket hazard and guard as :func:`minhash_lsh_pairs`: a
     template corpus puts thousands of docs in one (chunk_idx, chunk)
     bucket and the self-join emits k² candidates. Buckets over
@@ -862,6 +905,89 @@ def simhash_near_pairs(
             ])
         ).alias("chunk_idx", "chunk"),
     )
+    # Vectorized scoring path (round 8) — the same broadcast-payload gate
+    # as minhash_lsh_pairs: (id, simhash) rows are 16 bytes each, so a
+    # maximal under-gate collect is ~8 MB (far lighter than the minhash
+    # signature matrix the gate was sized for). Hot (chunk_idx, chunk)
+    # buckets and their identical-simhash min-id stars are derived
+    # driver-side from the collected payload (no probe job, no
+    # semi-join + window stage), cold chunk rows shuffle as narrow
+    # (id, band, bucket) triples, and the shared kernel scores
+    # hamming = popcount(xor) against the broadcast value array —
+    # bit-identical to the joined path's bit_count(h_a ^ h_b). Beyond
+    # the gate, or with the guard off, the distributed self-join below
+    # stays the at-scale plan (pinned by the plan-shape test).
+    sim_pd = None
+    if max_bucket_size is not None:
+        sim_pd = sim.limit(_MAX_BROADCAST_SIGS + 1).toPandas()
+        if len(sim_pd) > _MAX_BROADCAST_SIGS:
+            sim_pd = None
+    if sim_pd is not None:
+        spark = sim.sparkSession
+        ids = sim_pd["id"].to_numpy(np.int64)
+        hv = sim_pd["simhash"].to_numpy(np.int64)
+        hu = hv.view(np.uint64)
+        hot_rows: list = []
+        star_a: list = []
+        star_b: list = []
+        for ci in range(4):
+            # same 16-bit chunk the posexplode computes: arithmetic
+            # shiftright + mask on the signed value == logical shift on
+            # the unsigned view
+            cvals = ((hu >> np.uint64(16 * ci)) & np.uint64(0xFFFF)).astype(np.int64)
+            vals, cnt = np.unique(cvals, return_counts=True)
+            for v in vals[cnt > max_bucket_size]:
+                hot_rows.append((ci, int(v)))
+                members = np.flatnonzero(cvals == v)
+                # identical-simhash groups inside the hot bucket → min-id
+                # star edges (hamming 0 by construction); unique-simhash
+                # members drop from this chunk only, same as the
+                # distributed guard's window grouping on the value
+                sub = hv[members]
+                g_order = np.argsort(sub, kind="stable")
+                sub_s, mem_s = sub[g_order], members[g_order]
+                new_g = np.concatenate([[True], sub_s[1:] != sub_s[:-1]])
+                g_id = np.cumsum(new_g) - 1
+                g_min = np.full(g_id[-1] + 1, np.iinfo(np.int64).max, np.int64)
+                np.minimum.at(g_min, g_id, ids[mem_s])
+                gm = g_min[g_id]
+                others = ids[mem_s] != gm
+                star_a.append(gm[others])
+                star_b.append(ids[mem_s][others])
+        if hot_rows:
+            hot_keys = F.broadcast(
+                spark.createDataFrame(hot_rows, "chunk_idx INT, chunk BIGINT")
+            )
+            cold_v = chunks.join(hot_keys, ["chunk_idx", "chunk"], "left_anti")
+        else:
+            cold_v = chunks
+        id_order = np.argsort(ids)
+        bc = spark.sparkContext.broadcast((ids[id_order], hv[id_order]))
+
+        def score(sa, sb):
+            x = np.bitwise_xor(sa, sb)
+            h = _POPCNT8[x.view(np.uint8)].reshape(len(x), 8).sum(axis=1)
+            return h.astype(np.int32), h <= max_hamming
+
+        out = _vectorized_cold_pairs(
+            cold_v.select(
+                "id",
+                F.col("chunk_idx").alias("band"),
+                F.col("chunk").alias("bucket"),
+            ),
+            bc, 0.0, 64,
+            score=score, schema=_HAM_SCHEMA, empty=_ham_empty, out_col="hamming",
+        )
+        star_a = [s for s in star_a if len(s)]
+        star_b = [s for s in star_b if len(s)]
+        if star_a:
+            stars = pd.DataFrame({
+                "id_a": np.concatenate(star_a),
+                "id_b": np.concatenate(star_b),
+                "hamming": np.zeros(sum(len(s) for s in star_a), np.int32),
+            })
+            out = out.unionByName(spark.createDataFrame(stars, schema=_HAM_SCHEMA))
+        return out.distinct()
     cold, hot_star, _ = _hot_bucket_split(
         chunks, ["chunk_idx", "chunk"], "simhash", max_bucket_size,
         star_extra=[("h_a", F.col("simhash")), ("h_b", F.col("simhash"))],

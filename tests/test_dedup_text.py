@@ -417,9 +417,46 @@ def test_incremental_minhash_pairs_plan_shape(spark):
     _assert_equi_join_plan(plan)
 
 
-def test_simhash_near_pairs_plan_shape(spark):
-    from ferrobus_spark.operators.dedup import simhash_near_pairs
+def test_simhash_near_pairs_plan_shape(spark, monkeypatch):
+    """Pin the AT-SCALE fallback (beyond the round-8 broadcast gate):
+    the chunk self-join must stay an equi-join on (chunk_idx, chunk)."""
+    import ferrobus_spark.operators.dedup as dd
 
+    monkeypatch.setattr(dd, "_MAX_BROADCAST_SIGS", 0)
     sim = spark.range(64).select(F.col("id"), F.xxhash64(F.col("id") % 9).alias("simhash"))
-    plan = _plan_str(simhash_near_pairs(sim))
+    plan = _plan_str(dd.simhash_near_pairs(sim))
     _assert_equi_join_plan(plan)
+
+
+def test_simhash_vectorized_equals_joined_path(spark, monkeypatch):
+    """The round-8 vectorized simhash path (driver hot buckets + stars,
+    broadcast value array, popcount kernel) must be row-identical to the
+    distributed chunk-join fallback on a corpus exercising hot buckets
+    (identical template docs over a tiny cap), near-dup pairs within
+    Hamming 3, uniques, AND the kernel's batch-straddling carry +
+    pair-chunk slicing (forced tiny)."""
+    import ferrobus_spark.operators.dedup as dd
+    from ferrobus_spark.operators.dedup import simhash_col
+
+    rows = []
+    did = 0
+    for i in range(40):  # template stratum -> identical simhash, hot buckets
+        rows.append((did, "template boilerplate page body shared verbatim")); did += 1
+    for i in range(30):  # near-dup stratum
+        rows.append((did, f"document number {i % 6} with mostly shared words")); did += 1
+    for i in range(30):  # unique stratum
+        rows.append((did, f"totally unique text {i} {i*17} {i*29} xyz{i}")); did += 1
+    corpus = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sim = simhash_col(corpus)
+
+    def run():
+        return sorted(
+            map(tuple, dd.simhash_near_pairs(sim, max_hamming=3, max_bucket_size=8).collect())
+        )
+
+    monkeypatch.setattr(dd, "_PAIR_CHUNK", 3)  # force chunk slicing
+    vec = run()
+    monkeypatch.setattr(dd, "_MAX_BROADCAST_SIGS", 0)  # force joined path
+    joined = run()
+    assert vec == joined
+    assert len(vec) > 0
