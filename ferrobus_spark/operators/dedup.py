@@ -742,6 +742,103 @@ def incremental_minhash_pairs(
     bands_all = explode(old_sigs).withColumn("is_new", F.lit(False)).unionByName(
         bands_new.withColumn("is_new", F.lit(True))
     )
+    # Vectorized scoring path (round 8) — the minhash_lsh_pairs gate
+    # applied to the UNION side (old ∪ new): under the cap both sides'
+    # signatures + band keys + the is_new flag are collected once, hot
+    # buckets and their keeper-flag star edges are derived driver-side,
+    # and the shared kernel scores in-bucket pairs against the broadcast
+    # matrix with the flag appended as an extra column — ``keep`` adds
+    # the ≥1-new-side condition, so old×old pairs score-and-drop inside
+    # the kernel instead of ever materializing as join rows. At 100 TB
+    # the old corpus alone exceeds the gate, so the asymmetric
+    # new-bands-drive-the-probe join below remains the at-scale plan
+    # (pinned by the plan-shape test with the gate forced shut).
+    union_pd = None
+    if max_bucket_size is not None:
+        union_pd = (
+            old_sigs.select("id", "signature", "bands", F.lit(False).alias("is_new"))
+            .unionByName(
+                new_sigs.select("id", "signature", "bands", F.lit(True).alias("is_new"))
+            )
+            .limit(_MAX_BROADCAST_SIGS + 1)
+            .toPandas()
+        )
+        if len(union_pd) > _MAX_BROADCAST_SIGS:
+            union_pd = None
+    if union_pd is not None:
+        spark = new_sigs.sparkSession
+        ids = union_pd["id"].to_numpy(np.int64)
+        if len(union_pd):
+            smat = np.stack(union_pd["signature"].to_numpy()).astype(np.int64)
+            band_mat = np.stack(union_pd["bands"].to_numpy()).astype(np.int64)
+        else:
+            smat = np.empty((0, n_hashes), np.int64)
+            band_mat = np.empty((0, n_bands), np.int64)
+        flags = union_pd["is_new"].to_numpy(bool)
+        hot_rows: list = []
+        star_a: list = []
+        star_b: list = []
+        for bnd in range(n_bands):
+            vals, cnt = np.unique(band_mat[:, bnd], return_counts=True)
+            for v in vals[cnt > max_bucket_size]:
+                hot_rows.append((bnd, int(v)))
+                members = np.flatnonzero(band_mat[:, bnd] == v)
+                # identical-signature groups (exact rows, cf.
+                # minhash_lsh_pairs' gate path); keeper = min id; the
+                # crawl-N rule drops old×old star edges unless the
+                # member or the keeper is new
+                sub = smat[members]
+                g_order = np.lexsort(sub.T[::-1])
+                sub_s = sub[g_order]
+                mem_s = members[g_order]
+                new_g = np.concatenate(
+                    [[True], (sub_s[1:] != sub_s[:-1]).any(axis=1)]
+                )
+                g_id = np.cumsum(new_g) - 1
+                g_min = np.full(g_id[-1] + 1, np.iinfo(np.int64).max, np.int64)
+                np.minimum.at(g_min, g_id, ids[mem_s])
+                gm = g_min[g_id]
+                # keeper flag: is_new of the min-id member per group
+                keeper_new = np.zeros(g_id[-1] + 1, bool)
+                is_min = ids[mem_s] == gm
+                keeper_new[g_id[is_min]] = flags[mem_s][is_min]
+                others = (ids[mem_s] != gm) & (flags[mem_s] | keeper_new[g_id])
+                star_a.append(gm[others])
+                star_b.append(ids[mem_s][others])
+        if hot_rows:
+            hot_keys_v = F.broadcast(
+                spark.createDataFrame(hot_rows, "band INT, bucket BIGINT")
+            )
+            cold_v = bands_all.join(hot_keys_v, ["band", "bucket"], "left_anti")
+        else:
+            cold_v = bands_all
+        id_order = np.argsort(ids)
+        smat_ext = np.concatenate(
+            [smat, flags[:, None].astype(np.int64)], axis=1
+        )
+        bc = spark.sparkContext.broadcast((ids[id_order], smat_ext[id_order]))
+
+        def score(sa, sb):
+            est = (sa[:, :n_hashes] == sb[:, :n_hashes]).sum(axis=1) / float(n_hashes)
+            keep = (est >= threshold) & ((sa[:, n_hashes] == 1) | (sb[:, n_hashes] == 1))
+            return est, keep
+
+        out = _vectorized_cold_pairs(
+            cold_v.select("id", "band", "bucket"), bc, threshold, n_hashes,
+            score=score,
+        )
+        star_a = [s for s in star_a if len(s)]
+        star_b = [s for s in star_b if len(s)]
+        if star_a:
+            stars = pd.DataFrame({
+                "id_a": np.concatenate(star_a),
+                "id_b": np.concatenate(star_b),
+                "est_jaccard": np.ones(sum(len(s) for s in star_a), np.float64),
+            })
+            out = out.unionByName(
+                spark.createDataFrame(stars, schema=_PAIRS_SCHEMA)
+            )
+        return out.distinct()
     # one guard authority: bucket sizes measured on the union side, the
     # crawl-N keeper rule expressed via keeper_flag (see _hot_bucket_split)
     cold_all, hot_star, hot_keys = _hot_bucket_split(

@@ -399,8 +399,13 @@ def test_minhash_vectorized_equals_joined_path(spark, monkeypatch):
     assert len(vec) > 0
 
 
-def test_incremental_minhash_pairs_plan_shape(spark):
-    from ferrobus_spark.operators.dedup import N_HASHES, incremental_minhash_pairs
+def test_incremental_minhash_pairs_plan_shape(spark, monkeypatch):
+    """Pin the AT-SCALE fallback (beyond the round-8 union-side gate):
+    the new-bands-drive-the-probe join must stay an equi-join."""
+    import ferrobus_spark.operators.dedup as dd
+    from ferrobus_spark.operators.dedup import N_HASHES
+
+    monkeypatch.setattr(dd, "_MAX_BROADCAST_SIGS", 0)
 
     def sigs(lo, n, mod):
         return spark.range(lo, lo + n).select(
@@ -412,9 +417,57 @@ def test_incremental_minhash_pairs_plan_shape(spark):
         )
 
     plan = _plan_str(
-        incremental_minhash_pairs(sigs(1000, 32, 5), sigs(0, 64, 7), n_hashes=N_HASHES)
+        dd.incremental_minhash_pairs(sigs(1000, 32, 5), sigs(0, 64, 7), n_hashes=N_HASHES)
     )
     _assert_equi_join_plan(plan)
+
+
+def test_incremental_vectorized_equals_joined_path(spark, monkeypatch):
+    """The round-8 vectorized incremental path (union-side gate, is_new
+    flag carried as an extra broadcast column, keeper-flag stars derived
+    driver-side) must be row-identical to the asymmetric join fallback —
+    including the crawl-N rules that old×old pairs never surface and
+    hot-group star edges need a new member or a new keeper. Corpus:
+    template stratum split across old/new (hot buckets with old AND new
+    members over a tiny cap), an all-OLD template group (must emit
+    nothing), cross-crawl near-dups, uniques; kernel chunking forced
+    tiny."""
+    import ferrobus_spark.operators.dedup as dd
+    from ferrobus_spark.operators.dedup import minhash_signatures
+
+    old_rows, new_rows = [], []
+    did = 0
+    for i in range(25):  # template A: old members ...
+        old_rows.append((did, "template boilerplate page body shared verbatim")); did += 1
+    for i in range(15):  # ... and new members (same hot group)
+        new_rows.append((did, "template boilerplate page body shared verbatim")); did += 1
+    for i in range(30):  # template B: ALL old — stars must not leak
+        old_rows.append((did, "other template footer block repeated everywhere")); did += 1
+    for i in range(20):  # near-dup stratum straddling crawls
+        (old_rows if i % 2 else new_rows).append(
+            (did, f"document number {i % 5} with mostly shared words")); did += 1
+    for i in range(20):  # uniques
+        (old_rows if i % 2 else new_rows).append(
+            (did, f"totally unique text {i} {i*17} {i*29} xyz{i}")); did += 1
+    old = spark.createDataFrame(pd.DataFrame(old_rows, columns=["doc_id", "text"]))
+    new = spark.createDataFrame(pd.DataFrame(new_rows, columns=["doc_id", "text"]))
+    old_sigs = minhash_signatures(old)
+    new_sigs = minhash_signatures(new)
+
+    def run():
+        return sorted(map(tuple, dd.incremental_minhash_pairs(
+            new_sigs, old_sigs, threshold=0.5, max_bucket_size=8
+        ).collect()))
+
+    monkeypatch.setattr(dd, "_PAIR_CHUNK", 3)  # force chunk slicing
+    vec = run()
+    monkeypatch.setattr(dd, "_MAX_BROADCAST_SIGS", 0)  # force joined path
+    joined = run()
+    assert vec == joined
+    assert len(vec) > 0
+    # old×old template-B pairs must not appear on either path
+    new_ids = {r[0] for r in new_rows}
+    assert all(a in new_ids or b in new_ids for a, b, _ in vec)
 
 
 def test_simhash_near_pairs_plan_shape(spark, monkeypatch):
