@@ -280,7 +280,7 @@ def _enrich_with_bands(sigs: DataFrame, n_bands: int) -> DataFrame:
 def _vectorized_cold_pairs(
     cold: DataFrame, bc, threshold: float, n_hashes: int,
     *, score=None, schema: T.StructType | None = None, empty=None,
-    out_col: str = "est_jaccard",
+    out_col: str = "est_jaccard", left_flag: bool = False,
 ) -> DataFrame:
     """In-bucket candidate pairs + exact est_jaccard, all in NumPy.
 
@@ -303,6 +303,15 @@ def _vectorized_cold_pairs(
     per-position equality count against ``threshold``. ``schema`` /
     ``empty`` / ``out_col`` parametrize the output column — defaults are
     the minhash ``est_jaccard`` shape.
+
+    ``left_flag`` (round 8, crawl-N reuse): when True, ``cold`` must
+    carry an int ``flag`` column (1 = "new"); rows sort new-first inside
+    each bucket and pairs form only where the LEFT element is in the new
+    prefix — i.e. exactly the pairs with at least one new side, each
+    once (new×new both in the prefix with i<j; new×old with the new row
+    first; old×old never, its reps are zeroed). This is the bipartite
+    analogue of the joined path's new-side-drives-the-probe join: the
+    kernel never materializes or scores an old×old candidate.
     """
     npart = cold.sparkSession.sparkContext.defaultParallelism
     if schema is None:
@@ -317,13 +326,20 @@ def _vectorized_cold_pairs(
     def kernel(batches):
         ids_sorted, smat = bc.value
 
-        def emit(ids, band, bucket):
+        def emit(ids, band, bucket, flag=None):
             seg_start = np.flatnonzero(np.concatenate([
                 [True],
                 (band[1:] != band[:-1]) | (bucket[1:] != bucket[:-1]),
             ]))
             seg_sizes = np.diff(np.concatenate([seg_start, [len(ids)]]))
-            seg_pairs = seg_sizes * (seg_sizes - 1) // 2
+            if flag is not None:
+                # new rows sort first inside each segment; pairs whose
+                # left element is one of the seg_new prefix rows are
+                # exactly the >=1-new pairs, each formed once
+                seg_new = np.add.reduceat(flag, seg_start)
+                seg_pairs = seg_new * (seg_sizes - 1) - seg_new * (seg_new - 1) // 2
+            else:
+                seg_pairs = seg_sizes * (seg_sizes - 1) // 2
             cum = np.concatenate([[0], np.cumsum(seg_pairs)])
             if cum[-1] == 0:
                 return empty()
@@ -342,6 +358,10 @@ def _vectorized_cold_pairs(
                 seg_end = np.repeat(sl_start + sl_sizes, sl_sizes)
                 pos = np.arange(len(sl_ids))
                 reps = seg_end - pos - 1
+                if flag is not None:
+                    pos_in_seg = pos - np.repeat(sl_start, sl_sizes)
+                    rep_new = np.repeat(seg_new[s:e], sl_sizes)
+                    reps = np.where(pos_in_seg < rep_new, reps, 0)
                 total = int(reps.sum())
                 s = e
                 if total == 0:
@@ -382,19 +402,26 @@ def _vectorized_cold_pairs(
                 yield empty()
                 continue
             yield emit(
-                pdf["id"].to_numpy(np.int64)[:cut], band[:cut], bucket[:cut]
+                pdf["id"].to_numpy(np.int64)[:cut], band[:cut], bucket[:cut],
+                pdf["flag"].to_numpy(np.int64)[:cut] if left_flag else None,
             )
         if carry is not None and len(carry):
             yield emit(
                 carry["id"].to_numpy(np.int64),
                 carry["band"].to_numpy(np.int64),
                 carry["bucket"].to_numpy(np.int64),
+                carry["flag"].to_numpy(np.int64) if left_flag else None,
             )
 
+    cols = ["id", "band", "bucket"] + (["flag"] if left_flag else [])
+    sort_cols = (
+        [F.col("band"), F.col("bucket"), F.col("flag").desc()]
+        if left_flag else ["band", "bucket"]
+    )
     return (
-        cold.select("id", "band", "bucket")
+        cold.select(*cols)
         .repartition(npart, "band", "bucket")
-        .sortWithinPartitions("band", "bucket")
+        .sortWithinPartitions(*sort_cols)
         .mapInPandas(kernel, schema)
     )
 
@@ -813,19 +840,16 @@ def incremental_minhash_pairs(
         else:
             cold_v = bands_all
         id_order = np.argsort(ids)
-        smat_ext = np.concatenate(
-            [smat, flags[:, None].astype(np.int64)], axis=1
-        )
-        bc = spark.sparkContext.broadcast((ids[id_order], smat_ext[id_order]))
-
-        def score(sa, sb):
-            est = (sa[:, :n_hashes] == sb[:, :n_hashes]).sum(axis=1) / float(n_hashes)
-            keep = (est >= threshold) & ((sa[:, n_hashes] == 1) | (sb[:, n_hashes] == 1))
-            return est, keep
-
+        bc = spark.sparkContext.broadcast((ids[id_order], smat[id_order]))
+        # bipartite formation (left_flag): the kernel forms only pairs
+        # with >=1 new side — the exact candidate set the asymmetric
+        # join produces — so old×old buckets cost nothing to score
         out = _vectorized_cold_pairs(
-            cold_v.select("id", "band", "bucket"), bc, threshold, n_hashes,
-            score=score,
+            cold_v.select(
+                "id", "band", "bucket",
+                F.col("is_new").cast("int").alias("flag"),
+            ),
+            bc, threshold, n_hashes, left_flag=True,
         )
         star_a = [s for s in star_a if len(s)]
         star_b = [s for s in star_b if len(s)]
